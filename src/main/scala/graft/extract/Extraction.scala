@@ -1,0 +1,233 @@
+package graft.extract
+
+import graft.clean.Cleaner
+import graft.dom.{Dom, Node}
+import graft.hash.SimHash
+import graft.meta.{DocMeta, Metadata}
+import graft.out.Serializers
+import graft.out.Serializers.Span
+import graft.parse.HtmlParser
+import graft.select.Selectors
+import graft.text.TextUtils
+
+/** Full extraction result for one document row. */
+final case class ExtractedDoc(
+    spans: List[Span],
+    text: String,
+    comments: String,
+    meta: DocMeta,
+    rawTextLen: Int)
+
+/** Top-level per-document extraction (core.py:836-1106 `bare_extraction` /
+  * `extract`), the kernel run per row inside the Spark `mapPartitions`
+  * transform. Pure Scala — no Spark types. */
+object Extraction {
+
+  /** Cooperative work budget per document (replaces the reference's SIGALRM
+    * timeout, core.py:1010-1012): max processed nodes per phase. */
+  val MaxNodesPerDoc = 2000000
+
+  /** compare_extraction (core.py:656-714). The readability fork lands in a
+    * follow-up round; until then the algorithm branch yields no text, which
+    * keeps the heuristics' outcome identical whenever our own extraction
+    * found content (len_algo == 0 => algo_flag stays False). */
+  def compareExtraction(tree: Node, backupTree: Node, body: Node, text: String,
+      lenTextIn: Int, options: ExtractorOptions): (Node, String, Int) = {
+    var (rBody, rText, lenText) = (body, text, lenTextIn)
+    val minTargetLength = options.config.minExtractedSize
+    if (options.recall && lenText > minTargetLength * 10) return (rBody, rText, lenText)
+    // prior cleaning on the backup, then the readability candidate
+    var bt = Cleaner.pruneUnwantedNodes(backupTree, Selectors.paywallDiscardRules)
+    if (options.precision) bt = Cleaner.pruneUnwantedNodes(bt, Selectors.overallDiscardRules)
+    val tempPostAlgo = Fallbacks.tryReadability(bt)
+    val algoText = Option(TextUtils.trim(tempPostAlgo.textContent)).getOrElse("")
+    val lenAlgo = algoText.length
+    var algoFlag = false
+    if (lenAlgo == 0 || lenAlgo == lenText) algoFlag = false
+    else if (lenText == 0 && lenAlgo > 0) algoFlag = true
+    else if (lenText > 2 * lenAlgo) algoFlag = false
+    else if (lenAlgo > 2 * lenText) algoFlag = true
+    else if (!rBody.iterList(Set("p")).exists(p => p.itertext.nonEmpty) && lenAlgo > minTargetLength * 2) algoFlag = true
+    else if (rBody.descendants(Set("table")).length > rBody.descendants(Set("p")).length &&
+      lenAlgo > minTargetLength * 2) algoFlag = true
+    else if (options.recall && rBody.descendants(Set("head")).isEmpty &&
+      tempPostAlgo.descendants(Set("h2", "h3", "h4")).nonEmpty && lenAlgo > lenText) algoFlag = true
+    else algoFlag = false
+    if (algoFlag) { rBody = tempPostAlgo; rText = algoText; lenText = lenAlgo }
+    // justext rescue (stub second fallback for now)
+    var jtResult = false
+    val dirty = rBody.descendants(Selectors.sanitizedTags).nonEmpty
+    if (dirty || lenText < minTargetLength) {
+      val (b2, t2, l2, ok) = Fallbacks.justextRescue(tree, options, lenText)
+      if (ok && !(lenText > 4 * l2)) { rBody = b2; rText = t2; lenText = l2; jtResult = true }
+    }
+    if (algoFlag && !jtResult) {
+      val (sb, st, sl) = Fallbacks.sanitizeTree(rBody, options)
+      rBody = sb; rText = st; lenText = sl
+    }
+    (rBody, rText, lenText)
+  }
+
+  /** Full result incl. the body trees (tests / XML projection). */
+  final case class BareResult(doc: ExtractedDoc, body: Node, commentsBody: Node)
+
+  /** bare_extraction (core.py:836-1007). Returns null when the document is
+    * discarded (the reference's ValueError channel). */
+  def bareExtraction(filecontent: String, url: String = null,
+      options: ExtractorOptions = ExtractorOptions(),
+      withMetadata: Boolean = true): ExtractedDoc = {
+    val r = bareFull(filecontent, url, options, withMetadata)
+    if (r == null) null else r.doc
+  }
+
+  def bareFull(filecontent: String, url: String = null,
+      options: ExtractorOptions = ExtractorOptions(),
+      withMetadata: Boolean = true): BareResult = {
+    try {
+      val tree = HtmlParser.loadHtml(filecontent)
+      if (tree == null) return null
+      bareExtractionTree(tree, url, options, withMetadata)
+    } catch {
+      case _: StackOverflowError => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** extract with output_format='xml' (tests use this surface). */
+  def extractXml(filecontent: String, url: String = null,
+      options: ExtractorOptions = ExtractorOptions()): String = {
+    val r = bareFull(filecontent, url, options)
+    if (r == null) return null
+    val m = r.doc.meta
+    val metaAttrs = List("sitename" -> m.sitename, "title" -> m.title, "author" -> m.author,
+      "date" -> m.date, "url" -> m.url, "hostname" -> m.hostname,
+      "description" -> m.description,
+      "categories" -> (if (m.categories.nonEmpty) m.categories.mkString(";") else null),
+      "tags" -> (if (m.tags.nonEmpty) m.tags.mkString(";") else null),
+      "license" -> m.license, "fingerprint" -> m.fingerprint)
+    TextUtils.normalizeUnicode(
+      Serializers.xmlOutput(r.body, if (options.comments) r.commentsBody else null, metaAttrs))
+  }
+
+  def bareExtractionTree(treeIn: Node, url: String, options: ExtractorOptions,
+      withMetadata: Boolean): BareResult = {
+    try {
+      val tree = treeIn
+      // metadata first (metadata.py works on the uncleaned tree)
+      val meta = if (withMetadata) Metadata.extractMetadata(tree, url) else DocMeta()
+
+      // backups (core.py:934-935)
+      val treeBackup1 = if (!options.fast) tree.deepCopy else null
+      val treeBackup2 = tree.deepCopy
+
+      var cleanedTree = Cleaner.treeCleaning(tree, options)
+      val cleanedTreeBackup = cleanedTree.deepCopy
+      cleanedTree = Cleaner.convertTags(cleanedTree, options, if (url != null) url else meta.url)
+
+      // comments first, then remove (core.py:944-950)
+      val (commentsBody, tempComments, lenComments) =
+        if (options.comments) ContentExtractor.extractComments(cleanedTree, options)
+        else (null, "", 0)
+      if (options.precision)
+        cleanedTree = Cleaner.pruneUnwantedNodes(cleanedTree, Selectors.removeCommentsRules)
+
+      var (postbody, tempText, lenText) = ContentExtractor.extractContent(cleanedTree, options)
+
+      if (!options.fast) {
+        val r = compareExtraction(cleanedTreeBackup, treeBackup1, postbody, tempText, lenText, options)
+        postbody = r._1; tempText = r._2; lenText = r._3
+      }
+      if (lenText < options.config.minExtractedSize) {
+        val r = Baseline.baseline(treeBackup2)
+        postbody = r._1; tempText = r._2; lenText = r._3
+      }
+
+      // size checks (core.py:975-980)
+      if (lenText < options.config.minOutputSize && lenComments < options.config.minOutputCommSize)
+        return null
+
+      // body-level dedup (core.py:983-985)
+      if (options.dedupOn && Kernel.duplicateTest(postbody, options)) return null
+
+      // spans come from the unmutated body; the txt renderer (markdown pass)
+      // mutates element text, so it runs on copies
+      val spans = Serializers.toSpans(postbody, commentsBody)
+      val text = Serializers.xmlToTxt(postbody.deepCopy, options.formatting)
+      val commentsTxt =
+        if (options.comments && commentsBody != null)
+          Serializers.xmlToTxt(commentsBody.deepCopy, options.formatting)
+        else null
+      BareResult(ExtractedDoc(spans, text, commentsTxt, meta, lenText), postbody, commentsBody)
+    } catch {
+      case _: StackOverflowError => null
+      case scala.util.control.NonFatal(_) => null
+    }
+  }
+
+  /** extract (core.py:1015-1106) with txt output; returns null if discarded. */
+  def extract(filecontent: String, url: String = null,
+      options: ExtractorOptions = ExtractorOptions()): String = {
+    val doc = bareExtraction(filecontent, url, options)
+    if (doc == null) return null
+    val out =
+      if (doc.comments != null && doc.comments.nonEmpty) doc.text + "\n" + doc.comments
+      else doc.text
+    TextUtils.normalizeUnicode(stripStr(out))
+  }
+
+  /** Full result with fingerprint (core.py:1099-1103). */
+  def extractDoc(filecontent: String, url: String = null, recordId: String = null,
+      options: ExtractorOptions = ExtractorOptions()): ExtractedDoc = {
+    val doc = bareExtraction(filecontent, url, options)
+    if (doc == null) return null
+    val rawText = doc.text
+    val fingerprint = SimHash.contentFingerprint(String.valueOf(doc.meta.title) + " " + rawText)
+    doc.copy(meta = doc.meta.copy(id = recordId, fingerprint = fingerprint))
+  }
+
+  private def stripStr(s: String): String = {
+    var a = 0
+    var b = s.length
+    while (a < b && TextUtils.isPyWhitespace(s.charAt(a))) a += 1
+    while (b > a && TextUtils.isPyWhitespace(s.charAt(b - 1))) b -= 1
+    s.substring(a, b)
+  }
+}
+
+/** Fallback arbiters (external.py). The readability-fork and jusText ports
+  * land in the next round; the stubs preserve compare_extraction's decision
+  * structure with an empty algorithm candidate. */
+object Fallbacks {
+  /** try_readability (external.py:37-46). */
+  def tryReadability(backupTree: Node): Node = Readability.tryReadability(backupTree)
+
+  /** justext_rescue (external.py:93-107) — stub: no rescue. */
+  def justextRescue(tree: Node, options: ExtractorOptions, lenText: Int): (Node, String, Int, Boolean) =
+    (null, "", 0, false)
+
+  /** sanitize_tree (external.py:110-139). */
+  def sanitizeTree(treeIn: Node, options: ExtractorOptions): (Node, String, Int) = {
+    var tree = Cleaner.treeCleaning(treeIn, options)
+    tree.descendants(Selectors.sanitizedTags).foreach { e =>
+      if (e.parent != null) e.parent.remove(e)
+    }
+    if (!options.links) Dom.stripTags(tree, "a")
+    Dom.stripTags(tree, "span")
+    tree = Cleaner.convertTags(tree, options)
+    tree.iterLazy(Set("td", "th", "tr")).foreach { elem =>
+      elem.tag match {
+        case "tr" => elem.tag = "row"
+        case "td" | "th" =>
+          if (elem.tag == "th") elem.set("role", "head")
+          elem.tag = "cell"
+        case _ =>
+      }
+    }
+    val TeiValidTags = Set("ab", "body", "cell", "code", "del", "div", "graphic", "head",
+      "hi", "item", "lb", "list", "p", "quote", "ref", "row", "table")
+    val sanitizationList = tree.iterList(null).map(_.tag).distinct.filterNot(TeiValidTags.contains)
+    Dom.stripTags(tree, sanitizationList: _*)
+    val text = Option(TextUtils.trim(tree.itertext.mkString(" "))).getOrElse("")
+    (tree, text, text.length)
+  }
+}

@@ -1,0 +1,393 @@
+package graft.parse
+
+import graft.dom.{Dom, Node}
+import graft.text.TextUtils
+
+/** Streaming HTML tokenizer + tree builder. From-scratch design that mirrors
+  * the libxml2/lxml parser behaviors the reference relies on
+  * (utils.py:184-224 `load_html`): comments and processing instructions are
+  * dropped at parse time, entities are decoded, names are lower-cased,
+  * `<p>`/`li`/table cells auto-close, missing html/head/body are implied, and
+  * script/style bodies are raw text. Scope = the reference's golden cases,
+  * not full WHATWG conformance. */
+object HtmlParser {
+
+  private val VoidElems = Set(
+    "area", "base", "basefont", "br", "col", "embed", "frame", "hr", "img",
+    "input", "isindex", "keygen", "link", "meta", "param", "source", "track", "wbr")
+
+  private val RawTextElems = Set("script", "style")
+
+  /** Opening one of these closes an open <p> (libxml2 auto-close). */
+  private val ClosesP = Set(
+    "address", "article", "aside", "blockquote", "center", "details", "dialog",
+    "dir", "div", "dl", "fieldset", "figcaption", "figure", "footer", "form",
+    "frameset", "h1", "h2", "h3", "h4", "h5", "h6", "header", "hgroup", "hr",
+    "li", "main", "menu", "nav", "ol", "p", "pre", "section", "summary",
+    "table", "ul", "xmp")
+
+  private val HeadOnlyElems = Set("title", "base", "link", "meta", "style")
+
+  // ------------------------------------------------------------------ public
+
+  /** lxml.html.fromstring equivalent: full documents return the <html> root;
+    * fragments return the single body child, or the <body> element. Returns
+    * null on unparseable/empty input. */
+  def fromstring(html: String): Node = {
+    if (html == null) return null
+    val stripped = html.dropWhile(c => TextUtils.isPyWhitespace(c))
+    if (stripped.isEmpty) return null
+    val root = parseDocument(html)
+    if (root == null) return null
+    val start = stripped.take(50).toLowerCase
+    if (start.startsWith("<html") || start.startsWith("<!doctype")) return root
+    val body = root.children.find(_.tag == "body").orNull
+    if (body == null) return root
+    if (body.children.length == 1 &&
+      (body.text == null || body.text.forall(TextUtils.isPyWhitespace)) &&
+      (body.children.last.tail == null || body.children.last.tail.forall(TextUtils.isPyWhitespace)))
+      return body.children.head
+    body
+  }
+
+  /** `load_html` (utils.py:184-224): decode/repair, parse, reject non-HTML. */
+  def loadHtml(htmlInput: String): Node = {
+    if (htmlInput == null) return null
+    var htmlobject = htmlInput
+    val beginning = htmlobject.take(50).toLowerCase
+    val checkFlag = TextUtils.isDubiousHtml(beginning)
+    htmlobject = TextUtils.stripFaultyDoctypes(htmlobject, beginning)
+    val tree = fromstring(htmlobject)
+    if (tree != null && checkFlag && tree.children.length < 2) return null
+    tree
+  }
+
+  /** GZip front-end (utils.py:78-96) + UTF-8-or-replace decode (utils.py:138-157
+    * without the chardet cascade: UTF-8 validity test, then Latin-1 fallback). */
+  def decodeFile(bytes: Array[Byte]): String = {
+    val content =
+      if (bytes.length > 2 && bytes(0) == 0x1f.toByte && bytes(1) == 0x8b.toByte) {
+        try {
+          val in = new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes))
+          val out = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+          out.toByteArray
+        } catch { case _: java.io.IOException => bytes }
+      } else bytes
+    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+    try dec.decode(java.nio.ByteBuffer.wrap(content)).toString
+    catch {
+      case _: java.nio.charset.CharacterCodingException =>
+        new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
+  }
+
+  // ----------------------------------------------------------------- builder
+
+  /** Parse into a full document tree rooted at <html>. */
+  def parseDocument(html: String): Node = {
+    val b = new Builder
+    tokenize(html, b)
+    b.finish()
+  }
+
+  private final class Builder {
+    val root = new Node("html")
+    private var head: Node = null
+    private var body: Node = null
+    private val stack = scala.collection.mutable.ArrayBuffer[Node](root)
+    private var sawExplicitHtml = false
+    private var headClosed = false
+
+    private def cur: Node = stack.last
+
+    private def ensureBody(): Unit = {
+      if (body == null) {
+        body = new Node("body"); root.append(body)
+        headClosed = true
+        if (stack.length == 1) stack += body
+      } else if (stack.length == 1) stack += body
+    }
+
+    private def ensureHead(): Unit = {
+      if (head == null && !headClosed) { head = new Node("head"); root.append(head) }
+    }
+
+    def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+      name match {
+        case "html" =>
+          sawExplicitHtml = true
+          attrs.foreach { case (k, v) => if (!root.has(k)) root.set(k, v) }
+          return
+        case "head" =>
+          ensureHead()
+          if (head != null && !stack.contains(head)) { popToRootLevel(); stack += head }
+          attrs.foreach { case (k, v) => if (head != null && !head.has(k)) head.set(k, v) }
+          return
+        case "body" =>
+          closeHead()
+          if (body == null) { body = new Node("body"); root.append(body) }
+          popToRootLevel()
+          stack += body
+          attrs.foreach { case (k, v) => if (!body.has(k)) body.set(k, v) }
+          return
+        case _ =>
+      }
+      // implicit placement
+      if (stack.length == 1) {
+        if (HeadOnlyElems.contains(name) && body == null && !headClosed) {
+          ensureHead(); stack += head
+          openIn(name, attrs, selfClosing)
+          if (stack.last eq head) {} else {} // element may remain open inside head
+          // keep head on the stack until a body-only tag arrives
+          return
+        } else {
+          ensureBody()
+        }
+      } else if (head != null && stack.contains(head) && !HeadOnlyElems.contains(name) &&
+        !RawTextElems.contains(name) && name != "noscript") {
+        // non-head content while head open -> close head, open body
+        closeHead()
+        popToRootLevel()
+        ensureBody()
+      }
+      autoClose(name)
+      openIn(name, attrs, selfClosing)
+    }
+
+    private def closeHead(): Unit = {
+      headClosed = true
+      if (head != null) {
+        val i = stack.indexOf(head)
+        if (i >= 0) stack.remove(i, stack.length - i)
+      }
+    }
+
+    private def popToRootLevel(): Unit = stack.remove(1, stack.length - 1)
+
+    private def autoClose(name: String): Unit = {
+      // p closed by block elements
+      if (ClosesP.contains(name)) {
+        val i = stack.lastIndexWhere(_.tag == "p")
+        if (i > 0 && !stack.drop(i + 1).exists(n => n.tag == "table" || n.tag == "td" || n.tag == "th"))
+          stack.remove(i, stack.length - i)
+      }
+      name match {
+        case "li" =>
+          val i = stack.lastIndexWhere(_.tag == "li")
+          if (i > 0 && !stack.drop(i + 1).exists(n => n.tag == "ol" || n.tag == "ul"))
+            stack.remove(i, stack.length - i)
+        case "dt" | "dd" =>
+          val i = stack.lastIndexWhere(n => n.tag == "dt" || n.tag == "dd")
+          if (i > 0) stack.remove(i, stack.length - i)
+        case "tr" =>
+          val i = stack.lastIndexWhere(n => n.tag == "tr" || n.tag == "td" || n.tag == "th")
+          if (i > 0) {
+            val anchor = stack.lastIndexWhere(n => n.tag == "table" || n.tag == "thead" || n.tag == "tbody" || n.tag == "tfoot")
+            if (anchor < i) stack.remove(i, stack.length - i)
+          }
+        case "td" | "th" =>
+          val i = stack.lastIndexWhere(n => n.tag == "td" || n.tag == "th")
+          if (i > 0) {
+            val anchor = stack.lastIndexWhere(n => n.tag == "tr" || n.tag == "table")
+            if (anchor < i) stack.remove(i, stack.length - i)
+          }
+        case "thead" | "tbody" | "tfoot" =>
+          val i = stack.lastIndexWhere(n => Set("thead", "tbody", "tfoot", "tr", "td", "th").contains(n.tag))
+          if (i > 0) stack.remove(i, stack.length - i)
+        case "option" =>
+          val i = stack.lastIndexWhere(_.tag == "option")
+          if (i > 0) stack.remove(i, stack.length - i)
+        case _ =>
+      }
+    }
+
+    private def openIn(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+      val n = new Node(name)
+      attrs.foreach { case (k, v) => if (!n.has(k)) n.set(k, v) }
+      cur.append(n)
+      if (!selfClosing && !VoidElems.contains(name)) stack += n
+    }
+
+    def endTag(name: String): Unit = {
+      name match {
+        case "html" => return
+        case "head" => closeHead(); return
+        case "body" => popToRootLevel(); return
+        case _ =>
+      }
+      val i = stack.lastIndexWhere(_.tag == name)
+      if (i > 0) stack.remove(i, stack.length - i)
+      // unmatched end tag: ignored (libxml2 recovery)
+    }
+
+    def text(t: String): Unit = {
+      if (t.isEmpty) return
+      if (stack.length == 1) {
+        // top-level text: whitespace before content is dropped; real text opens body
+        if (t.forall(TextUtils.isPyWhitespace) && body == null && head == null) return
+        ensureBody()
+      }
+      val parent = cur
+      if (parent.children.isEmpty) {
+        parent.text = if (parent.text == null) t else parent.text + t
+      } else {
+        val lastChild = parent.children.last
+        lastChild.tail = if (lastChild.tail == null) t else lastChild.tail + t
+      }
+    }
+
+    def finish(): Node = {
+      if (body == null && head == null) {
+        // nothing structural ever arrived
+        if (root.children.isEmpty && root.text == null) return root
+      }
+      if (body == null) { body = new Node("body"); root.append(body) }
+      root
+    }
+  }
+
+  // --------------------------------------------------------------- tokenizer
+
+  private def tokenize(s: String, b: Builder): Unit = {
+    val n = s.length
+    var i = 0
+    val text = new java.lang.StringBuilder
+    def flushText(): Unit = {
+      if (text.length() > 0) { b.text(text.toString); text.setLength(0) }
+    }
+    while (i < n) {
+      val c = s.charAt(i)
+      if (c == '<' && i + 1 < n) {
+        val c1 = s.charAt(i + 1)
+        if (c1 == '!') {
+          flushText()
+          if (s.startsWith("<!--", i)) {
+            val end = s.indexOf("-->", i + 4)
+            i = if (end < 0) n else end + 3
+          } else {
+            // doctype / CDATA / bogus: skip to '>'
+            val end = s.indexOf('>', i + 2)
+            i = if (end < 0) n else end + 1
+          }
+        } else if (c1 == '?') {
+          flushText()
+          val end = s.indexOf('>', i + 2)
+          i = if (end < 0) n else end + 1
+        } else if (c1 == '/') {
+          val j = i + 2
+          if (j < n && Character.isLetter(s.charAt(j))) {
+            flushText()
+            var k = j
+            while (k < n && s.charAt(k) != '>') k += 1
+            val name = s.substring(j, k).trim.toLowerCase.takeWhile(ch => !TextUtils.isPyWhitespace(ch))
+            if (name.nonEmpty) b.endTag(name)
+            i = if (k < n) k + 1 else n
+          } else { text.append(c); i += 1 }
+        } else if (Character.isLetter(c1)) {
+          flushText()
+          val (name, attrs, selfClosing, next) = parseTag(s, i + 1)
+          b.startTag(name, attrs, selfClosing)
+          i = next
+          if (RawTextElems.contains(name) && !selfClosing) {
+            // raw text until matching close tag
+            val closeIdx = indexOfCloseTag(s, i, name)
+            val raw = s.substring(i, math.min(closeIdx, n))
+            if (raw.nonEmpty) b.text(raw)
+            b.endTag(name)
+            i = skipPastCloseTag(s, closeIdx, name)
+          }
+        } else { text.append(c); i += 1 }
+      } else if (c == '&') {
+        val dec = Entities.decodeRef(s, i)
+        if (dec != null) { text.append(dec._1); i = dec._2 }
+        else { text.append(c); i += 1 }
+      } else { text.append(c); i += 1 }
+    }
+    flushText()
+  }
+
+  private def indexOfCloseTag(s: String, from: Int, name: String): Int = {
+    val n = s.length
+    val target = "</" + name
+    val tLen = target.length
+    var i = from
+    while (i + tLen <= n) {
+      var k = 0
+      var ok = true
+      while (ok && k < tLen) {
+        val a = Character.toLowerCase(s.charAt(i + k))
+        if (a != target.charAt(k)) ok = false
+        k += 1
+      }
+      if (ok) {
+        val after = i + tLen
+        if (after >= n || s.charAt(after) == '>' || TextUtils.isPyWhitespace(s.charAt(after)))
+          return i
+      }
+      i += 1
+    }
+    n
+  }
+
+  private def skipPastCloseTag(s: String, closeIdx: Int, name: String): Int = {
+    if (closeIdx >= s.length) return s.length
+    val gt = s.indexOf('>', closeIdx)
+    if (gt < 0) s.length else gt + 1
+  }
+
+  /** Parse a start tag beginning after '<'. Returns (name, attrs, selfClosing, nextIndex). */
+  private def parseTag(s: String, from: Int): (String, Seq[(String, String)], Boolean, Int) = {
+    val n = s.length
+    var i = from
+    val nameStart = i
+    while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' || s.charAt(i) == ':')) i += 1
+    val name = s.substring(nameStart, i).toLowerCase
+    val attrs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var selfClosing = false
+    var done = false
+    while (!done && i < n) {
+      // skip ws
+      while (i < n && TextUtils.isPyWhitespace(s.charAt(i))) i += 1
+      if (i >= n) done = true
+      else s.charAt(i) match {
+        case '>' => i += 1; done = true
+        case '/' =>
+          if (i + 1 < n && s.charAt(i + 1) == '>') { selfClosing = true; i += 2; done = true }
+          else i += 1
+        case _ =>
+          val aStart = i
+          while (i < n && !TextUtils.isPyWhitespace(s.charAt(i)) && s.charAt(i) != '=' &&
+            s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
+          val aName = s.substring(aStart, i).toLowerCase
+          var aValue = ""
+          // skip ws
+          var j = i
+          while (j < n && TextUtils.isPyWhitespace(s.charAt(j))) j += 1
+          if (j < n && s.charAt(j) == '=') {
+            j += 1
+            while (j < n && TextUtils.isPyWhitespace(s.charAt(j))) j += 1
+            if (j < n && (s.charAt(j) == '"' || s.charAt(j) == '\'')) {
+              val q = s.charAt(j)
+              val vStart = j + 1
+              var k = vStart
+              while (k < n && s.charAt(k) != q) k += 1
+              aValue = Entities.unescape(s.substring(vStart, math.min(k, n)))
+              i = if (k < n) k + 1 else n
+            } else {
+              val vStart = j
+              var k = j
+              while (k < n && !TextUtils.isPyWhitespace(s.charAt(k)) && s.charAt(k) != '>') k += 1
+              aValue = Entities.unescape(s.substring(vStart, k))
+              i = k
+            }
+          } else i = i
+          if (aName.nonEmpty) attrs += (aName -> aValue)
+      }
+    }
+    (name, attrs.toSeq, selfClosing, i)
+  }
+}
