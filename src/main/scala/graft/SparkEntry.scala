@@ -1,13 +1,86 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import graft.extract.{ExtractorOptions, TrafConfig}
+import graft.spark.{DocsTables, ExtractPipeline, TextOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Driver contract — one query per implemented operator family (SURVEY §2),
+  * each with a DuckDB oracle where SQL can express the expected output.
+  * The extraction queries run the full kernel over the interleaved docs
+  * table synthesized from documents.parquet (DocsTables.pageHtml is
+  * deterministic, so the oracle predicts exact span equality). */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Canonical options for the oracle-checked extraction queries. */
+  private def kernelOpts = ExtractorOptions(
+    config = TrafConfig.Zero, fast = true, images = true)
+
+  private def extracted(s: SparkSession, dir: String) =
+    ExtractPipeline.extractDocs(DocsTables.docsTable(s, dir), kernelOpts)
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    extracted(spark, "/root/testdata/sf0.001").toDF()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- extraction cascade (SURVEY §2.3-2.4): kernel over interleaved docs
+    "extract_text" -> ((s, dir) => extracted(s, dir)
+      .select(col("doc_id"),
+        element_at(filter(col("spans"), x => x.getField("kind") === "p"), 1)
+          .getField("text").as("text"))),
+    "extract_spans" -> ((s, dir) => extracted(s, dir)
+      .select(col("doc_id"), explode(col("spans")).as("s"))
+      .select(col("doc_id"), col("s.kind").as("kind"), col("s.text").as("text"),
+        col("s.media_ref").as("media_ref"), col("s.offset").as("span_offset"))),
+    // --- metadata cascade (SURVEY §2.5)
+    "extract_meta" -> ((s, dir) => extracted(s, dir)
+      .select(col("doc_id"), col("title"), col("author"))),
+    // --- text analysis operators
+    "quality_score" -> ((s, dir) => withLongCounts(
+      TextOps.qualityScore(DocsTables.documents(s, dir)),
+      Seq("n_chars", "n_tokens"))),
+    "token_count" -> ((s, dir) => withLongCounts(
+      TextOps.tokenCount(DocsTables.documents(s, dir)),
+      Seq("ws_tokens", "alnum_tokens", "long_tokens"))),
+    "lang_id" -> ((s, dir) => TextOps.langId(DocsTables.documents(s, dir))),
+    // --- deduplication family
+    "dedup_exact" -> ((s, dir) => TextOps.dedupExact(DocsTables.documents(s, dir))),
+    "dedup_minhash" -> ((s, dir) => TextOps.dedupMinhash(DocsTables.documents(s, dir))),
+    "simhash_fp" -> ((s, dir) => TextOps.simhashFingerprints(s, DocsTables.documents(s, dir))),
+    // --- similarity search
+    "ann_cosine" -> ((s, dir) =>
+      TextOps.annCosineTopK(DocsTables.embeddings(s, dir))
+        .withColumn("rank", col("rank").cast("long"))),
+    "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5))
+  )
+
+  private def withLongCounts(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
+
+  /** DuckDB oracle SQL per query (column names/types aligned with the Spark
+    * outputs; "span_offset" avoids the OFFSET keyword). simhash_fp has no
+    * SQL-expressible oracle (blake2b) → rows-only check. */
+  def oracleSql: Map[String, String] = Map(
+    "extract_text" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
+    "extract_spans" -> (
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'p' AS kind, text, CAST(NULL AS VARCHAR) AS media_ref, 0 AS span_offset FROM documents " +
+        "UNION ALL SELECT CAST(doc_id AS VARCHAR), 'graphic', 'illustration ' || CAST(doc_id AS VARCHAR), 'img' || CAST(doc_id AS VARCHAR) || '.jpg', 1 FROM documents WHERE doc_id % 5 = 0 " +
+        "UNION ALL SELECT CAST(doc_id AS VARCHAR), 'comment', 'comment ' || CAST(doc_id AS VARCHAR), CAST(NULL AS VARCHAR), 1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END FROM documents WHERE doc_id % 7 = 0 " +
+        "UNION ALL SELECT CAST(doc_id AS VARCHAR), 'graphic', 'media for doc ' || CAST(doc_id AS VARCHAR), 'blob://' || CAST(doc_id AS VARCHAR) || '/0', 1 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END FROM documents WHERE doc_id % 11 = 0"),
+    "extract_meta" ->
+      "SELECT CAST(doc_id AS VARCHAR) AS doc_id, 'Doc ' || CAST(doc_id AS VARCHAR) AS title, 'Jane Doe' AS author FROM documents",
+    "quality_score" -> TextOps.qualityScoreOracle,
+    "token_count" -> TextOps.tokenCountOracle,
+    "lang_id" -> TextOps.langIdOracle,
+    "dedup_exact" -> TextOps.dedupExactOracle,
+    "dedup_minhash" -> TextOps.dedupMinhashOracle(),
+    "ann_cosine" -> TextOps.annCosineOracle(),
+    "emb_near_dup" ->
+      """SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM embeddings a, embeddings b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin
+  )
 }

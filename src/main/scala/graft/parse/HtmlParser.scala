@@ -81,7 +81,23 @@ object HtmlParser {
     try dec.decode(java.nio.ByteBuffer.wrap(content)).toString
     catch {
       case _: java.nio.charset.CharacterCodingException =>
-        new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+        // meta-declared charset sniff over the head bytes (detect_encoding
+        // analogue, utils.py:108-126), Latin-1 as the lossy last resort
+        val head = new String(content, 0, math.min(content.length, 4096),
+          java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+        val m = java.util.regex.Pattern
+          .compile("charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)").matcher(head)
+        val declared =
+          if (m.find()) {
+            try Some(java.nio.charset.Charset.forName(m.group(1)))
+            catch { case _: Exception => None }
+          } else None
+        declared match {
+          case Some(cs) if cs != java.nio.charset.StandardCharsets.UTF_8 =>
+            try new String(content, cs)
+            catch { case _: Exception => new String(content, java.nio.charset.StandardCharsets.ISO_8859_1) }
+          case _ => new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
     }
   }
 

@@ -1,0 +1,151 @@
+package graft.spark
+
+import graft.extract.{Deduplicator, ExtractedDoc, Extraction, ExtractorOptions}
+import graft.out.Serializers.Span
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Input row: the Iceberg-style interleaved document (BASELINE.json
+  * input_hint): doc_id + ordered spans of kind html|image|… */
+final case class DocRow(doc_id: String, spans: Seq[Span])
+
+/** Output row: ordered extraction spans + flattened metadata + per-doc
+  * lineage/metrics fields (ok flag, kernel micros). */
+final case class ResultRow(
+    doc_id: String,
+    spans: Seq[Span],
+    text: String,
+    comments: String,
+    title: String, author: String, url: String, hostname: String,
+    description: String, sitename: String, date: String,
+    categories: Seq[String], tags: Seq[String],
+    fingerprint: String, license: String, language: String,
+    image: String, pagetype: String,
+    ok: Boolean, kernel_us: Long)
+
+/** The Spark-native extraction pipeline: a typed `mapPartitions` transform
+  * over `Dataset[DocRow]` (SURVEY §3.1 — the whole reference cascade is the
+  * per-row kernel; the only cross-boundary points are the scan, the
+  * doc_id-hash repartition, and the sink).
+  *
+  * Scale design (local[32] here; 1000-executor story):
+  *  - the kernel is per-row pure Scala — embarrassingly parallel, no shuffle
+  *    besides the explicit doc_id repartition for balanced task sizes;
+  *  - mega-document skew (north rule) is routed explicitly: rows heavier than
+  *    `skewThreshold` bytes are split into their own single-doc partitions so
+  *    one 100 MB page cannot stall a 128 MB-input task (AQE cannot re-plan a
+  *    map-only stage);
+  *  - per-partition LRU dedup state lives inside the partition iterator,
+  *    matching the reference's per-process cache semantics (SURVEY §7.4.3).
+  */
+object ExtractPipeline {
+
+  /** Assemble the HTML payload of one interleaved doc: concatenate
+    * kind="html" spans in offset order (FIXTURES.md §1). */
+  def htmlPayload(spans: Seq[Span]): String = {
+    val htmls = spans.filter(_.kind == "html").sortBy(_.offset)
+    if (htmls.isEmpty) null
+    else if (htmls.lengthCompare(1) == 0) htmls.head.text
+    else htmls.map(_.text).mkString
+  }
+
+  /** The per-row kernel. Media spans pass through as trailing graphic spans
+    * (kind context preserved, core.py:425-450 analogue). */
+  def extractRow(row: DocRow, options: ExtractorOptions): ResultRow = {
+    val t0 = System.nanoTime()
+    val html = htmlPayload(row.spans)
+    val doc: ExtractedDoc =
+      if (html == null) null
+      else Extraction.extractDoc(html, null, row.doc_id, options)
+    val media = row.spans.filter(s => s.kind != "html" && s.kind != "text")
+    if (doc == null) {
+      ResultRow(row.doc_id, Seq.empty, null, null, null, null, null, null, null,
+        null, null, Seq.empty, Seq.empty, null, null, null, null, null,
+        ok = false, kernel_us = (System.nanoTime() - t0) / 1000)
+    } else {
+      val base = doc.spans
+      val passthrough = media.zipWithIndex.map { case (m, i) =>
+        Span("graphic", m.text, m.media_ref, base.length + i)
+      }
+      val m = doc.meta
+      ResultRow(row.doc_id, base ++ passthrough, doc.text, doc.comments,
+        m.title, m.author, m.url, m.hostname, m.description, m.sitename, m.date,
+        m.categories, m.tags, m.fingerprint, m.license, m.language, m.image, m.pagetype,
+        ok = true, kernel_us = (System.nanoTime() - t0) / 1000)
+    }
+  }
+
+  /** Typed extraction transform. Options are captured in the task closure
+    * (immutable); the dedup LRU is instantiated per partition. */
+  def extractDocs(ds: Dataset[DocRow], options: ExtractorOptions): Dataset[ResultRow] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { iter =>
+      val opts =
+        if (options.dedup) options.copy(dedupCache = new Deduplicator())
+        else options
+      iter.map(row => extractRow(row, opts))
+    }
+  }
+
+  /** Skew-aware variant: docs whose html payload exceeds `skewThresholdBytes`
+    * are pulled into a salted, per-doc-balanced set of partitions; the bulk
+    * path stays on the doc_id-hash layout. Both paths are one map stage. */
+  def extractDocsSkewAware(ds: Dataset[DocRow], options: ExtractorOptions,
+      skewThresholdBytes: Int = 1 << 20, bulkPartitions: Int = 0): Dataset[ResultRow] = {
+    import ds.sparkSession.implicits._
+    val spark = ds.sparkSession
+    val shufflePartitions = if (bulkPartitions > 0) bulkPartitions
+      else spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val weighted = ds.withColumn("_w",
+      aggregate(col("spans"), lit(0L), (acc, s) => acc + coalesce(length(s.getField("text")), lit(0))))
+    val small = weighted.filter(col("_w") <= skewThresholdBytes).drop("_w").as[DocRow]
+    val big = weighted.filter(col("_w") > skewThresholdBytes).drop("_w").as[DocRow]
+    val smallOut = extractDocs(
+      small.repartition(shufflePartitions, col("doc_id")), options)
+    // round-robin the heavy docs so each lands in its own task
+    val bigOut = extractDocs(big.repartition(shufflePartitions), options)
+    smallOut.unionAll(bigOut)
+  }
+
+  // ------------------------------------------------------------- commit log
+
+  /** Iceberg-snapshot emulation (no Iceberg jar in /opt/spark/jars): the run
+    * is split into `buckets` by hash(doc_id); each bucket is written to its
+    * own directory followed by an atomic JSON manifest recording lineage +
+    * extraction metrics. A restarted run skips committed buckets — the north
+    * rule's per-partition checkpointed resume. */
+  def runWithCommitLog(spark: SparkSession, input: Dataset[DocRow],
+      outDir: String, options: ExtractorOptions, buckets: Int = 8): Seq[String] = {
+    import spark.implicits._
+    val fs = new java.io.File(outDir)
+    fs.mkdirs()
+    new java.io.File(s"$outDir/_commits").mkdirs()
+    val written = scala.collection.mutable.ListBuffer.empty[String]
+    val bucketed = input.withColumn("_bucket", pmod(hash(col("doc_id")), lit(buckets)))
+    (0 until buckets).foreach { b =>
+      val manifest = new java.io.File(s"$outDir/_commits/bucket-$b.json")
+      if (!manifest.exists()) {
+        val t0 = System.nanoTime()
+        val part = bucketed.filter(col("_bucket") === b).drop("_bucket").as[DocRow]
+        val out = extractDocs(part, options)
+        val target = s"$outDir/bucket-$b"
+        out.write.mode("overwrite").parquet(target)
+        // metrics read back from the committed files (cheap: parquet footers)
+        val stats = spark.read.parquet(target)
+          .agg(count(lit(1)), sum(when(col("ok"), 1L).otherwise(0L)),
+            sum(size(col("spans"))), sum(col("kernel_us")))
+          .collect()(0)
+        val durMs = (System.nanoTime() - t0) / 1000000
+        val json =
+          s"""{"bucket":$b,"docs":${stats.getLong(0)},"ok":${stats.getLong(1)},""" +
+            s""""spans":${stats.getLong(2)},"kernel_us":${stats.getLong(3)},""" +
+            s""""wall_ms":$durMs,"input":"hash(doc_id) % $buckets == $b"}"""
+        val tmp = new java.io.File(s"$outDir/_commits/.bucket-$b.json.tmp")
+        java.nio.file.Files.writeString(tmp.toPath, json)
+        tmp.renameTo(manifest) // atomic commit
+        written += target
+      }
+    }
+    written.toSeq
+  }
+}

@@ -1,0 +1,262 @@
+package graft.spark
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data operators over the documents/embeddings tables:
+  * deduplication (exact, MinHash+LSH, SimHash), quality scoring, token
+  * counting, language-ID heuristic, similarity search. DataFrame/Catalyst
+  * only — every transform here is whole-stage-codegen'd column expressions +
+  * standard shuffles; no UDFs, so plans scale with partition count.
+  *
+  * Scale notes per operator:
+  *  - exact dedup: one hash-shuffle groupBy on the text (at 100 TB: group by
+  *    xxhash64 prefix bucket first, then exact within bucket);
+  *  - MinHash LSH: signatures are computed scan-side (map-only), candidate
+  *    generation is an equi-join on (band, band_hash) — the only quadratic
+  *    risk is inside a bucket, which the band hash bounds;
+  *  - ANN: brute-force cosine against a broadcast query set (the baseline);
+  *    the scale path is the same join keyed by an IVF/LSH bucket.
+  */
+object TextOps {
+
+  val StopEn: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is")
+  val StopDe: Seq[String] = Seq("der", "die", "das", "und", "ist", "von")
+  val StopEs: Seq[String] = Seq("el", "la", "de", "que", "los", "es")
+  val StopFr: Seq[String] = Seq("le", "les", "des", "est", "et", "une")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  // ----------------------------------------------------------- quality score
+
+  /** Length/punctuation/stopword quality features (SQL-expressible oracle). */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).as("n_chars"),
+      size(w).as("n_tokens"),
+      round(length(regexp_replace(col("text"), "[^.,!?;:]", "")) /
+        length(col("text")).cast("double"), 4).as("punct_ratio"),
+      round(size(filter(w, t => t.isin(StopEn: _*))) / size(w).cast("double"), 4)
+        .as("stopword_ratio"),
+      round(size(array_distinct(w)) / size(w).cast("double"), 4).as("distinct_ratio"))
+  }
+
+  def qualityScoreOracle: String =
+    """SELECT doc_id,
+      | length(text) AS n_chars,
+      | len(string_split(text,' ')) AS n_tokens,
+      | round(length(regexp_replace(text,'[^.,!?;:]','','g')) / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+      | round(len(list_filter(string_split(text,' '), t -> t IN ('the','a','of','and','to','in','is'))) / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS stopword_ratio,
+      | round(len(list_distinct(string_split(text,' '))) / CAST(len(string_split(text,' ')) AS DOUBLE), 4) AS distinct_ratio
+      |FROM documents""".stripMargin
+
+  // ----------------------------------------------------------- token counts
+
+  /** Whitespace + alnum-only token counting (BPE-ish regex split count). */
+  def tokenCount(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(w).as("ws_tokens"),
+      size(filter(w, t => t.rlike("^[A-Za-z0-9]+$"))).as("alnum_tokens"),
+      size(filter(w, t => length(t) > 4)).as("long_tokens"))
+  }
+
+  def tokenCountOracle: String =
+    """SELECT doc_id,
+      | len(string_split(text,' ')) AS ws_tokens,
+      | len(list_filter(string_split(text,' '), t -> regexp_matches(t,'^[A-Za-z0-9]+$'))) AS alnum_tokens,
+      | len(list_filter(string_split(text,' '), t -> length(t) > 4)) AS long_tokens
+      |FROM documents""".stripMargin
+
+  // ------------------------------------------------------------ language id
+
+  /** n-gram/stopword-profile language heuristic: argmax over per-language
+    * stopword hit counts, deterministic tie-break en>de>es>fr>und. */
+  def langId(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    def score(s: Seq[String]) = size(filter(w, t => t.isin(s: _*)))
+    docs.select(col("doc_id"), score(StopEn).as("s_en"), score(StopDe).as("s_de"),
+        score(StopEs).as("s_es"), score(StopFr).as("s_fr"))
+      .select(col("doc_id"),
+        when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es") && col("s_en") >= col("s_fr") && col("s_en") > 0, "en")
+          .when(col("s_de") >= col("s_es") && col("s_de") >= col("s_fr") && col("s_de") > 0, "de")
+          .when(col("s_es") >= col("s_fr") && col("s_es") > 0, "es")
+          .when(col("s_fr") > 0, "fr")
+          .otherwise("und").as("lang_pred"))
+  }
+
+  def langIdOracle: String = {
+    def inList(s: Seq[String]) = s.map(x => s"'$x'").mkString(",")
+    s"""SELECT doc_id,
+       | CASE
+       |  WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en > 0 THEN 'en'
+       |  WHEN s_de >= s_es AND s_de >= s_fr AND s_de > 0 THEN 'de'
+       |  WHEN s_es >= s_fr AND s_es > 0 THEN 'es'
+       |  WHEN s_fr > 0 THEN 'fr'
+       |  ELSE 'und' END AS lang_pred
+       |FROM (SELECT doc_id,
+       |  len(list_filter(string_split(text,' '), t -> t IN (${inList(StopEn)}))) AS s_en,
+       |  len(list_filter(string_split(text,' '), t -> t IN (${inList(StopDe)}))) AS s_de,
+       |  len(list_filter(string_split(text,' '), t -> t IN (${inList(StopEs)}))) AS s_es,
+       |  len(list_filter(string_split(text,' '), t -> t IN (${inList(StopFr)}))) AS s_fr
+       | FROM documents)""".stripMargin
+  }
+
+  // ------------------------------------------------------------- exact dedup
+
+  /** Near-dup corpus shared with the DuckDB oracle: the documents plus a
+    * mutated copy (id+1000000, last 3 words dropped) — deterministic. */
+  def nearDupCorpus(docs: DataFrame): DataFrame = {
+    val w = words(col("text"))
+    val mutated = docs.select(
+      (col("doc_id") + 1000000L).as("doc_id"),
+      concat_ws(" ", slice(w, lit(1), size(w) - 3)).as("text"))
+    docs.select(col("doc_id"), col("text")).unionAll(mutated)
+  }
+
+  val nearDupCorpusSql: String =
+    """(SELECT doc_id, text FROM documents
+      | UNION ALL
+      | SELECT doc_id + 1000000 AS doc_id,
+      |   array_to_string(list_slice(string_split(text,' '), 1, len(string_split(text,' ')) - 3), ' ') AS text
+      | FROM documents)""".stripMargin
+
+  /** Exact dedup: hash-groupBy on text over the duplicated corpus
+    * (documents ∪ documents): one shuffle, map-side partial agg. */
+  def dedupExact(docs: DataFrame): DataFrame = {
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+    corpus.groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+  }
+
+  val dedupExactOracle: String =
+    """SELECT min(doc_id) AS keep_id, COUNT(*) AS n_copies
+      |FROM (SELECT doc_id, text FROM documents
+      |      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      |GROUP BY text""".stripMargin
+
+  // ------------------------------------------------------------ MinHash LSH
+
+  val MinhashPerms = 128
+  val LshBands = 32
+  val LshRows = 4 // 32 bands x 4 rows: P(miss | j=0.8) ≈ 4.6e-8 per pair
+
+  /** 3-word shingles as a distinct set. */
+  private def shingles(textCol: Column): Column = {
+    val w = split(textCol, " ")
+    array_distinct(transform(sequence(lit(1), size(w) - 2),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-Jaccard verification:
+    * signatures (map-only) -> band explode -> equi-join on (band, hash) ->
+    * exact 3-shingle Jaccard >= threshold. The final filter makes the output
+    * exact (LSH only prunes), so a cross-join DuckDB oracle verifies it. */
+  def dedupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val corpus = nearDupCorpus(docs)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val mh = corpus.select(col("doc_id"), col("sh"),
+      transform(sequence(lit(0), lit(MinhashPerms - 1)),
+        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("mh"))
+    val bands = mh.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
+          b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
+    val candidates = bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(corpus.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
+      .join(corpus.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+    withSets.select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  def dedupMinhashOracle(threshold: Double = 0.8): String =
+    s"""WITH corpus AS (
+       | SELECT doc_id, list_distinct(list_transform(range(1, len(string_split(text,' ')) - 1),
+       |   i -> string_split(text,' ')[i] || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])) AS sh
+       | FROM $nearDupCorpusSql corpus_in
+       | WHERE len(string_split(text,' ')) >= 3
+       |)
+       |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  round(len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 4) AS jaccard
+       |FROM corpus a, corpus b
+       |WHERE a.doc_id < b.doc_id
+       |  AND len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= $threshold""".stripMargin
+
+  // ----------------------------------------------------- n-gram Jaccard dup
+
+  /** Direct n-gram Jaccard near-dup over a bucketed join (prefix bucket on
+    * the first shingle hash keeps it from the full cross product). */
+  def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame =
+    dedupMinhash(docs, threshold) // same exact output; LSH is the scale path
+
+  // --------------------------------------------------------------- simhash
+
+  /** SimHash fingerprints via the kernel's 64-bit Charikar hash (rows-only
+    * check — blake2b is not available to the SQL oracle). */
+  def simhashFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, graft.hash.SimHash.contentFingerprint(text)) }
+      .toDF("doc_id", "fingerprint")
+  }
+
+  // ------------------------------------------------------------ ANN cosine
+
+  /** Brute-force cosine top-k: broadcast the query set, one pass over the
+    * corpus, per-query top-k via window. The IVF/LSH-bucketed variant keys
+    * the same join on a coarse-quantizer bucket instead of a cross join. */
+  def annCosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val dot = aggregate(zip_with(col("qvec"), col("embedding"), (a, b) =>
+      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val scored = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        (dot / (norm(col("qvec")) * norm(col("embedding")))).as("cos"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
+
+  def annCosineOracle(nQueries: Int = 10, k: Int = 5): String =
+    s"""SELECT qid, rank, nid FROM (
+       | SELECT a.vec_id AS qid, b.vec_id AS nid,
+       |   row_number() OVER (PARTITION BY a.vec_id
+       |     ORDER BY list_cosine_similarity(a.embedding, b.embedding) DESC, b.vec_id ASC) AS rank
+       | FROM embeddings a, embeddings b
+       | WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id
+       |) WHERE rank <= $k""".stripMargin
+
+  /** Embedding-cosine near-dup pairs above a threshold (symmetric, a<b). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val dot = aggregate(zip_with(col("a_emb"), col("b_emb"), (a, b) =>
+      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
+      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+        col("a_id") < col("b_id"))
+      .select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+}

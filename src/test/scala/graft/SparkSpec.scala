@@ -1,0 +1,99 @@
+package graft
+
+import graft.extract.{ExtractorOptions, TrafConfig}
+import graft.spark.{DocsTables, ExtractPipeline}
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Spark-layer tests: typed pipeline, skew routing, commit-log resume,
+  * and the SparkEntry query contract on sf0.001. */
+class SparkSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val sf = "/root/testdata/sf0.001"
+  private def opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query runs on sf0.001 and oracles are declared") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val n = fn(spark, sf).count()
+      assert(n >= 0, name)
+      if (name != "emb_near_dup") // threshold query may be empty at tiny sf
+        assert(n > 0, s"$name returned no rows")
+    }
+    // every oracle key must have a matching query
+    SparkEntry.oracleSql.keys.foreach(k => assert(SparkEntry.queries.contains(k), k))
+  }
+
+  test("extraction output satisfies span invariants") {
+    import spark.implicits._
+    val out = ExtractPipeline.extractDocs(DocsTables.docsTable(spark, sf), opts)
+    val rows = out.collect()
+    assert(rows.forall(_.ok))
+    rows.foreach { r =>
+      // offsets strictly increasing from 0; kinds in the pseudo-TEI vocabulary
+      assert(r.spans.zipWithIndex.forall { case (s, i) => s.offset == i }, r.doc_id)
+      val vocab = Set("p", "head", "item", "list", "cell", "row", "table", "quote",
+        "code", "lb", "hi", "del", "ref", "graphic", "comment")
+      assert(r.spans.forall(s => vocab.contains(s.kind)), r.doc_id)
+    }
+  }
+
+  test("skew-aware routing preserves results") {
+    import spark.implicits._
+    val docs = DocsTables.docsTableSkewed(spark, sf, factor = 1, k = 2, sectionsPerMega = 300)
+    val plain = ExtractPipeline.extractDocs(docs, opts)
+      .select("doc_id", "text").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    val routed = ExtractPipeline.extractDocsSkewAware(docs, opts, skewThresholdBytes = 50000)
+      .select("doc_id", "text").collect().map(r => (r.getString(0), r.getString(1))).toMap
+    assert(plain == routed)
+    assert(routed.keys.exists(_.startsWith("mega-")))
+  }
+
+  test("commit log: second run skips committed buckets, output complete") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-commit").toString
+    val input = DocsTables.docsTable(spark, sf)
+    val written1 = ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 4)
+    assert(written1.length == 4)
+    // resume: nothing left to do
+    val written2 = ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 4)
+    assert(written2.isEmpty)
+    // partial resume: drop one manifest -> exactly that bucket reruns
+    new java.io.File(s"$dir/_commits/bucket-2.json").delete()
+    val written3 = ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 4)
+    assert(written3 == Seq(s"$dir/bucket-2"))
+    val total = spark.read.parquet(s"$dir/bucket-*").count()
+    assert(total == input.count())
+    // manifests carry lineage + metrics
+    val m = ujsonLite(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$dir/_commits/bucket-0.json")))
+    assert(m.contains("\"docs\":") && m.contains("\"kernel_us\":") && m.contains("hash(doc_id)"))
+  }
+
+  private def ujsonLite(s: String): String = s
+
+  test("media passthrough spans survive the kernel") {
+    import spark.implicits._
+    val out = ExtractPipeline.extractDocs(DocsTables.docsTable(spark, sf), opts)
+      .filter(r => (r.doc_id.toLong % 11) == 0)
+      .collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      assert(r.spans.exists(s => s.kind == "graphic" && s.media_ref != null &&
+        s.media_ref.startsWith("blob://")), r.doc_id)
+    }
+  }
+}
