@@ -48,9 +48,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // extraction throughput at the requested parallelism
+    // extraction throughput at the requested parallelism; the workload is
+    // sized so the low-parallelism run is tens of seconds of real kernel
+    // work — small runs measure job-fixed overhead, not scaling
     val nDocsBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val factor = math.max(1, (30000 / math.max(1, nDocsBase)).toInt)
+    val factor = math.max(1, (400000 / math.max(1L, nDocsBase)).toInt)
     val (docsN, extractSec) = extractionRun(spark, sfDir, factor)
     val tput = docsN / extractSec
 

