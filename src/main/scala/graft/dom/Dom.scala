@@ -17,14 +17,22 @@ final class Node(var tag: String) {
   var tail: String = null
   var parent: Node = null
   val children: ArrayBuffer[Node] = ArrayBuffer.empty
-  // insertion-ordered attributes, like lxml's attrib
-  var attrs: mutable.LinkedHashMap[String, String] = mutable.LinkedHashMap.empty
+  // insertion-ordered attributes, like lxml's attrib — allocated lazily
+  // (most nodes are attribute-less; an eager map table dominates GC churn)
+  private var attrs0: mutable.LinkedHashMap[String, String] = null
 
-  def get(name: String): String = attrs.getOrElse(name, null)
-  def get(name: String, default: String): String = attrs.getOrElse(name, default)
+  def attrs: mutable.LinkedHashMap[String, String] = {
+    if (attrs0 == null) attrs0 = mutable.LinkedHashMap.empty
+    attrs0
+  }
+  def get(name: String): String =
+    if (attrs0 == null) null else attrs0.getOrElse(name, null)
+  def get(name: String, default: String): String =
+    if (attrs0 == null) default else attrs0.getOrElse(name, default)
   def set(name: String, value: String): Unit = attrs.put(name, value)
-  def has(name: String): Boolean = attrs.contains(name)
-  def clearAttrs(): Unit = attrs = mutable.LinkedHashMap.empty
+  def has(name: String): Boolean = attrs0 != null && attrs0.contains(name)
+  def hasAttrs: Boolean = attrs0 != null && attrs0.nonEmpty
+  def clearAttrs(): Unit = attrs0 = null
 
   /** Index within parent.children — maintained by every mutation so sibling
     * navigation is O(1) (indexOf would make wide-node iteration quadratic,
@@ -171,14 +179,22 @@ final class Node(var tag: String) {
   }
 
   /** lxml `text_content()`: concatenation of all text nodes. */
-  def textContent: String = itertext.mkString
+  def textContent: String = {
+    val sb = new java.lang.StringBuilder
+    def walk(n: Node): Unit = {
+      if (n.text != null) sb.append(n.text)
+      n.children.foreach { c => walk(c); if (c.tail != null) sb.append(c.tail) }
+    }
+    walk(this)
+    sb.toString
+  }
 
   // ------------------------------------------------------------------ copies
 
   def deepCopy: Node = {
     val n = new Node(tag)
     n.text = text; n.tail = tail
-    n.attrs = mutable.LinkedHashMap(attrs.toSeq: _*)
+    if (attrs0 != null && attrs0.nonEmpty) n.attrs0 = mutable.LinkedHashMap(attrs0.toSeq: _*)
     children.foreach { c =>
       val cc = c.deepCopy; cc.parent = n; cc.idx = n.children.length; n.children += cc
     }
@@ -265,7 +281,7 @@ object Dom {
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     def walk(x: Node): Unit = {
       sb.append('<').append(x.tag)
-      x.attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(esc(v).replace("\"", "&quot;")).append('"') }
+      if (x.hasAttrs) x.attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(esc(v).replace("\"", "&quot;")).append('"') }
       if (x.text == null && x.children.isEmpty) sb.append("/>")
       else {
         sb.append('>')

@@ -116,12 +116,14 @@ object Extraction {
       // metadata first (metadata.py works on the uncleaned tree)
       val meta = if (withMetadata) Metadata.extractMetadata(tree, url) else DocMeta()
 
-      // backups (core.py:934-935)
+      // backups (core.py:934-935); backup2 only feeds the baseline fallback,
+      // which zero-config runs can never trigger (len_text < 0 is false)
       val treeBackup1 = if (!options.fast) tree.deepCopy else null
-      val treeBackup2 = tree.deepCopy
+      val treeBackup2 = if (options.config.minExtractedSize > 0) tree.deepCopy else null
 
       var cleanedTree = Cleaner.treeCleaning(tree, options)
-      val cleanedTreeBackup = cleanedTree.deepCopy
+      // the cleaned backup only feeds compare_extraction (skipped in fast mode)
+      val cleanedTreeBackup = if (!options.fast) cleanedTree.deepCopy else null
       cleanedTree = Cleaner.convertTags(cleanedTree, options, if (url != null) url else meta.url)
 
       // comments first, then remove (core.py:944-950)
@@ -149,13 +151,15 @@ object Extraction {
       // body-level dedup (core.py:983-985)
       if (options.dedupOn && Kernel.duplicateTest(postbody, options)) return null
 
-      // spans come from the unmutated body; the txt renderer (markdown pass)
-      // mutates element text, so it runs on copies
+      // spans come from the unmutated body; the txt renderer mutates element
+      // text only for markdown formatting and ref links — copy only then
       val spans = Serializers.toSpans(postbody, commentsBody)
-      val text = Serializers.xmlToTxt(postbody.deepCopy, options.formatting)
+      def renderCopy(n: Node): Node =
+        if (options.formatting || n.iterLazy(Set("ref")).hasNext) n.deepCopy else n
+      val text = Serializers.xmlToTxt(renderCopy(postbody), options.formatting)
       val commentsTxt =
         if (options.comments && commentsBody != null)
-          Serializers.xmlToTxt(commentsBody.deepCopy, options.formatting)
+          Serializers.xmlToTxt(renderCopy(commentsBody), options.formatting)
         else null
       BareResult(ExtractedDoc(spans, text, commentsTxt, meta, lenText), postbody, commentsBody)
     } catch {

@@ -126,7 +126,7 @@ object Handlers {
               val subchildelem = Dom.subElement(newchildelem, processedSubchild.tag)
               subchildelem.text = processedSubchild.text
               subchildelem.tail = processedSubchild.tail
-              subelem.attrs.foreach { case (k, v) => subchildelem.set(k, v) }
+              if (subelem.hasAttrs) subelem.attrs.foreach { case (k, v) => subchildelem.set(k, v) }
             }
           }
           subelem.tag = "done"
@@ -334,12 +334,12 @@ object Handlers {
     if (TextUtils.isImageFile(element.get("data-src"))) processedElement.set("src", element.get("data-src"))
     else if (TextUtils.isImageFile(element.get("src"))) processedElement.set("src", element.get("src"))
     else {
-      element.attrs.keysIterator.find(a => a.startsWith("data-src") && TextUtils.isImageFile(element.get(a)))
+      (if (element.hasAttrs) element.attrs.keysIterator.find(a => a.startsWith("data-src") && TextUtils.isImageFile(element.get(a))) else None)
         .foreach(a => processedElement.set("src", element.get(a)))
     }
     if (element.get("alt") != null) processedElement.set("alt", element.get("alt"))
     if (element.get("title") != null) processedElement.set("title", element.get("title"))
-    if (processedElement.attrs.isEmpty || processedElement.get("src") == null ||
+    if (!processedElement.hasAttrs || processedElement.get("src") == null ||
       processedElement.get("src").isEmpty) return null
     val url = processedElement.get("src")
     processedElement.set("src", if (url.startsWith("//")) "http://" + url.substring(2) else url)

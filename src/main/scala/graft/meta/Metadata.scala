@@ -60,10 +60,12 @@ object Metadata {
 
   private val AuthorPrefix = Pattern.compile("(?iU)^([a-zäöüß]+(ed|t))? ?(written by|words by|words|by|von|from) ")
   private val AuthorRemoveNumbers = Pattern.compile("\\d.+?$")
-  private val AuthorTwitter = Pattern.compile("(?U)@[\\w]+")
+  // Python \w = [\p{L}\p{N}_]; Java's (?U)\w additionally matches combining
+  // marks (e.g. U+FE0F), which would survive the cleanup incorrectly
+  private val AuthorTwitter = Pattern.compile("@[\\p{L}\\p{N}_]+")
   private val AuthorReplaceJoin = Pattern.compile("[._+]")
   private val AuthorRemoveNickname = Pattern.compile("[\"‘({\\[’'][^\"]+?[‘’\"')\\]}]")
-  private val AuthorRemoveSpecial = Pattern.compile("(?U)[^\\w]+$|[:()?*$#!%/<>{}~¿]")
+  private val AuthorRemoveSpecial = Pattern.compile("[^\\p{L}\\p{N}_]+$|[:()?*$#!%/<>{}~¿]")
   private val AuthorRemovePreposition = Pattern.compile("(?iU)\\b\\s+(am|on|for|at|in|to|from|of|via|with|—|-|–)\\s+(.*)")
   private val AuthorEmail = Pattern.compile("\\b[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Z|a-z]{2,}\\b")
   private val AuthorSplit = Pattern.compile("(?iU)/|;|,|\\||&|(?:^|\\W)[u|a]nd(?:$|\\W)")
@@ -118,7 +120,13 @@ object Metadata {
       }
     }
     if (newAuthors.isEmpty) return currentAuthors
-    newAuthors.mkString("; ").stripPrefix("; ").stripSuffix("; ")
+    // Python .strip('; '): strip any run of ';'/' ' chars from both ends
+    val joined = newAuthors.mkString("; ")
+    var a = 0
+    var b = joined.length
+    while (a < b && (joined.charAt(a) == ';' || joined.charAt(a) == ' ')) a += 1
+    while (b > a && (joined.charAt(b - 1) == ';' || joined.charAt(b - 1) == ' ')) b -= 1
+    joined.substring(a, b)
   }
 
   // -------------------------------------------------------------- title xpaths
@@ -436,10 +444,10 @@ object Metadata {
   private val IsoDate = Pattern.compile("(\\d{4})-(\\d{2})-(\\d{2})")
   def extractDate(tree: Node, url: String): String = {
     val metaDates = headMetas(tree).filter { e =>
-      val key = List(e.get("property"), e.get("name"), e.get("itemprop")).find(_ != null).getOrElse("")
-      Set("article:published_time", "datepublished", "datePublished", "date",
-        "dc.date", "dc.date.issued", "article:modified_time", "og:updated_time").contains(key) ||
-        key.toLowerCase.contains("date")
+      val key = List(e.get("property"), e.get("name"), e.get("itemprop"))
+        .find(_ != null).getOrElse("").toLowerCase
+      key.contains("date") || key.contains("published_time") ||
+        key.contains("modified_time") || key == "og:updated_time"
     }
     metaDates.foreach { e =>
       val c = e.get("content")
@@ -463,13 +471,37 @@ object Metadata {
     TextUtils.lineProcessing(Entities.unescape(limited))
   }
 
+  /** check_authors (metadata.py:133-143). */
+  def checkAuthors(authors: String, blacklist: Set[String]): String = {
+    val bl = blacklist.map(_.toLowerCase)
+    val kept = authors.split(";").map(_.trim).filter(a => a.nonEmpty && !bl.contains(a.toLowerCase))
+    if (kept.nonEmpty) kept.mkString("; ") else null
+  }
+
   /** extract_metadata (metadata.py:475-575). */
-  def extractMetadata(tree: Node, defaultUrl: String = null, fastmode: Boolean = false): DocMeta = {
+  def extractMetadata(tree: Node, defaultUrl: String = null, fastmode: Boolean = false,
+      authorBlacklist: Set[String] = Set.empty): DocMeta = {
     if (tree == null) return DocMeta()
     var m = examineMeta(tree)
     if (m.author != null && !m.author.contains(" ")) m = m.copy(author = null)
+    // JSON-LD overrides (metadata.py:500-505)
+    tree.iterList(Set("script")).foreach { elem =>
+      val t = elem.get("type")
+      if ((t == "application/ld+json" || t == "application/settings+json") &&
+        elem.text != null && elem.text.nonEmpty) {
+        val elementText = JsonLd.normalizeJson(JsonLd.minify(elem.text))
+        JsonLd.parse(elementText) match {
+          case Some(schema) => m = JsonLd.extractJson(schema, m)
+          case None => m = JsonLd.extractJsonParseError(elementText, m)
+        }
+      }
+    }
     if (m.title == null) m = m.copy(title = extractTitle(tree))
+    if (m.author != null && authorBlacklist.nonEmpty)
+      m = m.copy(author = checkAuthors(m.author, authorBlacklist))
     if (m.author == null) m = m.copy(author = extractAuthor(tree))
+    if (m.author != null && authorBlacklist.nonEmpty)
+      m = m.copy(author = checkAuthors(m.author, authorBlacklist))
     if (m.url == null) m = m.copy(url = extractUrl(tree, defaultUrl))
     if (m.url != null) m = m.copy(hostname = extractDomain(m.url))
     if (m.image == null) {

@@ -142,7 +142,17 @@ object Serializers {
     * (the xmltotxt walk order, xml.py:257-283). kind = pseudo-TEI tag; text =
     * element text + tail; media_ref = graphic src. Comment spans appended
     * with kind="comment" (FIXTURES.md §2). */
+  private val SpanVocab = Set("p", "head", "item", "list", "cell", "row", "table",
+    "quote", "code", "lb", "hi", "del", "ref", "graphic")
+
   def toSpans(body: Node, commentsBody: Node): List[Span] = {
+    // the handlers can leak rare non-catalog child tags (e.g. summary inside
+    // a quote, core.py:233-250); the span contract is the closed pseudo-TEI
+    // vocabulary (FIXTURES.md §2), so stray tags merge into their parent
+    if (body != null) {
+      val stray = body.descendants(null).map(_.tag).distinct.filterNot(SpanVocab.contains)
+      if (stray.nonEmpty) graft.dom.Dom.stripTags(body, stray: _*)
+    }
     val out = scala.collection.mutable.ListBuffer.empty[Span]
     var offset = 0
     def emit(kind: String, text: String, mediaRef: String): Unit = {

@@ -68,9 +68,12 @@ object DocsTables {
     * distinct doc_ids — fixed seed-free determinism (pure arithmetic). */
   def docsTableScaled(spark: SparkSession, sfDir: String, factor: Int): Dataset[DocRow] = {
     import spark.implicits._
+    // repartition BEFORE the page build: the base parquet is a single split,
+    // so without the exchange one task would synthesize every page
     val d = documents(spark, sfDir)
       .join(spark.range(factor).toDF("rep"))
       .withColumn("doc_id", col("doc_id") * factor + col("rep"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
     val html = pageHtml(col("doc_id"), col("text"), col("lang"), col("source"))
     d.select(col("doc_id").cast("string").as("doc_id"),
       array(struct(lit("html").as("kind"), html.as("text"),

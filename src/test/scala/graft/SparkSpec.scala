@@ -96,4 +96,22 @@ class SparkSpec extends AnyFunSuite {
         s.media_ref.startsWith("blob://")), r.doc_id)
     }
   }
+
+  test("structured streaming surface: extraction over a docs stream") {
+    import spark.implicits._
+    // write the docs table as parquet, then drive it as a bounded stream
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val docs = DocsTables.docsTable(spark, sf)
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).parquet(s"$dir/in").as[graft.spark.DocRow]
+    val extracted = ExtractPipeline.extractDocs(stream, opts)
+    val q = extracted.writeStream.format("memory").queryName("extract_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM extract_stream WHERE ok").collect()(0).getLong(0)
+      assert(n == docs.count())
+    } finally q.stop()
+  }
 }
