@@ -34,4 +34,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dfile.encoding=UTF-8",
   "-Dsun.jnu.encoding=UTF-8",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // deep real-world DOM trees recurse past the default 1M stack (on a real
+  // cluster: spark.executor.extraJavaOptions=-Xss16m)
+  "-Xss16m",
 ) ++ sys.env.get("GRAFT_GC").map(g => s"-XX:+Use${g}GC").toSeq

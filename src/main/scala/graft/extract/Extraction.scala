@@ -23,6 +23,10 @@ final case class ExtractedDoc(
   * transform. Pure Scala — no Spark types. */
 object Extraction {
 
+  /** Debug switch: propagate kernel exceptions instead of the reference's
+    * silent ValueError channel (core.py:994-996). */
+  val rethrow: Boolean = sys.env.contains("GRAFT_KERNEL_RETHROW")
+
   /** Cooperative work budget per document (replaces the reference's SIGALRM
     * timeout, core.py:1010-1012): max processed nodes per phase. */
   val MaxNodesPerDoc = 2000000
@@ -163,8 +167,8 @@ object Extraction {
         else null
       BareResult(ExtractedDoc(spans, text, commentsTxt, meta, lenText), postbody, commentsBody)
     } catch {
-      case _: StackOverflowError => null
-      case scala.util.control.NonFatal(_) => null
+      case e: StackOverflowError => if (Extraction.rethrow) throw e else null
+      case scala.util.control.NonFatal(e) => if (Extraction.rethrow) throw e else null
     }
   }
 

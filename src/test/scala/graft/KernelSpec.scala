@@ -458,4 +458,22 @@ class KernelSpec extends AnyFunSuite {
     assert(d.meta.url == "https://www.example.org/page")
     assert(d.meta.hostname == "example.org")
   }
+
+  test("content_fingerprint golden value (hashing_tests.py:6-9)") {
+    val content = "abcde ijk l, " * 10
+    assert(SimHash.contentFingerprint(content) == "528497a1d07b66d6")
+    assert(SimHash.generateHashFilename(content) == "42LNugG3Sc95646i")
+  }
+
+  test("simhash similarity ordering (hashing_tests.py:13-44)") {
+    val h0 = SimHash.createHash("This is like putting lipstick on a pig." * 1)
+    val h1 = SimHash.createHash("This is just like putting lipstick on a pig.")
+    val h2 = SimHash.createHash("Putting lipstick on a pig is what this is about.")
+    val h3 = SimHash.createHash("The words are completely different but let's see.")
+    val sims = List(h0, h1, h2, h3).map(h => SimHash.similarity(h0, h))
+    assert(sims.head == 1.0 && sims.min == sims.last)
+    assert(SimHash.similarity(SimHash.createHash("abcde"), SimHash.createHash("abcde")) == 1.0)
+    assert(SimHash.similarity(SimHash.createHash("abcde"), SimHash.createHash("fghij")) < 0.6)
+    assert(SimHash.similarity(SimHash.createHash("abcde " * 100), SimHash.createHash("abcde")) == 1.0)
+  }
 }
