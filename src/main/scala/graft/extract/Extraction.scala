@@ -117,8 +117,11 @@ object Extraction {
       withMetadata: Boolean): BareResult = {
     try {
       val tree = treeIn
+      // quick and dirty HTML lang check (core.py:905-908; LANGID_FLAG=False
+      // path — our classifier is a heuristic, so the meta check always runs)
+      if (options.lang != null && !Filters.checkHtmlLang(tree, options.lang)) return null
       // metadata first (metadata.py works on the uncleaned tree)
-      val meta = if (withMetadata) Metadata.extractMetadata(tree, url) else DocMeta()
+      var meta = if (withMetadata) Metadata.extractMetadata(tree, url) else DocMeta()
 
       // backups (core.py:934-935); backup2 only feeds the baseline fallback,
       // which zero-config runs can never trigger (len_text < 0 is false)
@@ -155,6 +158,13 @@ object Extraction {
       // body-level dedup (core.py:983-985)
       if (options.dedupOn && Kernel.duplicateTest(postbody, options)) return null
 
+      // language sanity check (core.py:988-992)
+      if (options.lang != null) {
+        val (wrongLang, detected) = Filters.languageFilter(tempText, tempComments, options.lang)
+        if (detected != null) meta = meta.copy(language = detected)
+        if (wrongLang) return null
+      }
+
       // spans come from the unmutated body; the txt renderer mutates element
       // text only for markdown formatting and ref links — copy only then
       val spans = Serializers.toSpans(postbody, commentsBody)
@@ -181,6 +191,48 @@ object Extraction {
       if (doc.comments != null && doc.comments.nonEmpty) doc.text + "\n" + doc.comments
       else doc.text
     TextUtils.normalizeUnicode(stripStr(out))
+  }
+
+  /** extract with output_format='csv' (determine_returnstring core.py:816-822). */
+  def extractCsv(filecontent: String, url: String = null, recordId: String = null,
+      options: ExtractorOptions = ExtractorOptions()): String = {
+    val doc = extractDoc(filecontent, url, recordId, options)
+    if (doc == null) return null
+    TextUtils.normalizeUnicode(Serializers.txtToCsv(doc.text,
+      if (options.comments) doc.comments else null, doc.meta, recordId))
+  }
+
+  /** extract with output_format='json' (core.py:824-825). */
+  def extractJson(filecontent: String, url: String = null, recordId: String = null,
+      options: ExtractorOptions = ExtractorOptions()): String = {
+    val doc = extractDoc(filecontent, url, recordId, options)
+    if (doc == null) return null
+    TextUtils.normalizeUnicode(Serializers.jsonOutput(doc.meta, doc.text,
+      if (options.comments) doc.comments else null))
+  }
+
+  /** extract with output_format='xmltei' (core.py:811-812). */
+  def extractTei(filecontent: String, url: String = null, recordId: String = null,
+      options: ExtractorOptions = ExtractorOptions()): String = {
+    val r = bareFull(filecontent, url, options)
+    if (r == null) return null
+    val fingerprint = SimHash.contentFingerprint(String.valueOf(r.doc.meta.title) + " " + r.doc.text)
+    val meta = r.doc.meta.copy(id = recordId, fingerprint = fingerprint)
+    // final empty-element cleanup as in the xml path (core.py:801-808)
+    r.body.iterList(null).foreach { element =>
+      if (element.tag != "graphic" && element.children.isEmpty &&
+        (element.text == null || element.text.isEmpty) &&
+        (element.tail == null || element.tail.isEmpty)) {
+        val p = element.getparent
+        if (p != null) p.remove(element)
+      }
+    }
+    Serializers.stripDoubleTags(r.body)
+    Serializers.removeEmptyElements(r.body)
+    val tei = graft.out.Tei.buildTeiOutput(meta, r.body,
+      if (options.comments) r.commentsBody else null, url)
+    TextUtils.normalizeUnicode(
+      Option(TextUtils.sanitize(Dom.toXml(tei))).getOrElse(""))
   }
 
   /** Full result with fingerprint (core.py:1099-1103). */

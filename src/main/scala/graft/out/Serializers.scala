@@ -112,6 +112,53 @@ object Serializers {
     parent.remove(element)
   }
 
+  /** txttocsv (utils.py:227-240): TSV row; null fields print as "None"
+    * (Python f-string semantics, asserted in unit_tests.py:144-154). */
+  def txtToCsv(textIn: String, commentsIn: String, meta: graft.meta.DocMeta,
+      id: String = null): String = {
+    def pyStr(s: String): String = if (s == null) "None" else s
+    def flat(s: String): String =
+      if (s == null) null
+      else Option(TextUtils.trim(TextUtils.splitLines(s).mkString(" "))).getOrElse("")
+    val text = Option(flat(textIn)).getOrElse("")
+    val comments = flat(commentsIn)
+    val row = s"${pyStr(meta.url)}\t${pyStr(meta.fingerprint)}\t${pyStr(meta.hostname)}\t" +
+      s"${pyStr(meta.title)}\t${pyStr(meta.image)}\t${pyStr(meta.date)}\t" +
+      s"$text\t${pyStr(comments)}\t${pyStr(meta.license)}\t${pyStr(meta.pagetype)}\n"
+    if (id != null) id + "\t" + row else row
+  }
+
+  /** build_json_output (xml.py:53-69): renamed keys, joined lists. */
+  def jsonOutput(meta: graft.meta.DocMeta, text: String, comments: String): String = {
+    def esc(s: String): String = {
+      if (s == null) return "null"
+      val sb = new java.lang.StringBuilder("\"")
+      s.foreach {
+        case '"' => sb.append("\\\"")
+        case '\\' => sb.append("\\\\")
+        case '\n' => sb.append("\\n")
+        case '\r' => sb.append("\\r")
+        case '\t' => sb.append("\\t")
+        case c if c < ' ' => sb.append(f"\\u${c.toInt}%04x")
+        case c => sb.append(c)
+      }
+      sb.append("\"").toString
+    }
+    val fields = List(
+      "title" -> esc(meta.title), "author" -> esc(meta.author),
+      "hostname" -> esc(meta.hostname), "date" -> esc(meta.date),
+      "fingerprint" -> esc(meta.fingerprint), "id" -> esc(meta.id),
+      "license" -> esc(meta.license), "language" -> esc(meta.language),
+      "image" -> esc(meta.image), "pagetype" -> esc(meta.pagetype),
+      "source" -> esc(meta.url), "source-hostname" -> esc(meta.sitename),
+      "excerpt" -> esc(meta.description),
+      "categories" -> esc(meta.categories.mkString(";")),
+      "tags" -> esc(meta.tags.mkString(";")),
+      "text" -> esc(text)) ++
+      (if (comments != null) List("comments" -> esc(comments)) else Nil)
+    fields.map { case (k, v) => s"\"$k\": $v" }.mkString("{", ", ", "}")
+  }
+
   /** XML output projection (determine_returnstring 'xml' path, core.py:799-814
     * + build_xml_output xml.py:102-114), without pretty-printing. Mutates the
     * body tree (final cleanup) like the reference. */

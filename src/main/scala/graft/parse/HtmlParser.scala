@@ -110,7 +110,45 @@ object HtmlParser {
     b.finish()
   }
 
-  private final class Builder {
+  /** XML-ish lenient parse: no implied html/head/body, no auto-close — for
+    * XML-shaped fixtures (lxml etree.fromstring analogue). Returns the first
+    * top-level element. */
+  def parseXmlLike(content: String): Node = {
+    val root = new Node("#fragment")
+    val stack = scala.collection.mutable.ArrayBuffer[Node](root)
+    val b = new TokenSink {
+      def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+        val n = new Node(name)
+        attrs.foreach { case (k, v) => if (!n.has(k)) n.set(k, v) }
+        stack.last.append(n)
+        if (!selfClosing && !VoidElems.contains(name)) stack += n
+      }
+      def endTag(name: String): Unit = {
+        val i = stack.lastIndexWhere(_.tag == name)
+        if (i > 0) stack.remove(i, stack.length - i)
+      }
+      def text(t: String): Unit = {
+        val parent = stack.last
+        if (parent.children.isEmpty)
+          parent.text = if (parent.text == null) t else parent.text + t
+        else {
+          val lastChild = parent.children.last
+          lastChild.tail = if (lastChild.tail == null) t else lastChild.tail + t
+        }
+      }
+    }
+    tokenizeTo(content, b)
+    root.children.find(_ => true).orNull
+  }
+
+  /** Tokenizer event sink. */
+  trait TokenSink {
+    def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit
+    def endTag(name: String): Unit
+    def text(t: String): Unit
+  }
+
+  private final class Builder extends TokenSink {
     val root = new Node("html")
     private var head: Node = null
     private var body: Node = null
@@ -268,7 +306,9 @@ object HtmlParser {
 
   // --------------------------------------------------------------- tokenizer
 
-  private def tokenize(s: String, b: Builder): Unit = {
+  private def tokenize(s: String, b: Builder): Unit = tokenizeTo(s, b)
+
+  private def tokenizeTo(s: String, b: TokenSink): Unit = {
     val n = s.length
     var i = 0
     val text = new java.lang.StringBuilder

@@ -476,4 +476,29 @@ class KernelSpec extends AnyFunSuite {
     assert(SimHash.similarity(SimHash.createHash("abcde"), SimHash.createHash("fghij")) < 0.6)
     assert(SimHash.similarity(SimHash.createHash("abcde " * 100), SimHash.createHash("abcde")) == 1.0)
   }
+
+  test("txttocsv shape (unit_tests.py:144-161)") {
+    import graft.meta.DocMeta
+    assert(graft.out.Serializers.txtToCsv("", "", DocMeta()) ==
+      "None\tNone\tNone\tNone\tNone\tNone\t\t\tNone\tNone\n")
+    val m = DocMeta(title = "Test title", url = "https://example.org",
+      hostname = "example.org", id = "1", license = "CC BY-SA",
+      image = "https://example.org/image.jpg", pagetype = "article")
+    assert(graft.out.Serializers.txtToCsv("Test text", "Test comment", m, "1") ==
+      "1\thttps://example.org\tNone\texample.org\tTest title\thttps://example.org/image.jpg\tNone\tTest text\tTest comment\tCC BY-SA\tarticle\n")
+    val page = "<html><body><p>ÄÄÄÄÄÄÄÄÄÄÄÄÄÄ</p></body></html>"
+    assert(Extraction.extractCsv(page, null, null, Zero) != null)
+    assert(Extraction.extractCsv(page, null, null, Zero.copy(comments = false)).endsWith("\tNone\n"))
+    val j = Extraction.extractJson(page, null, null, Zero)
+    assert(j != null && j.endsWith("}") && j.contains("\"fingerprint\":") && j.contains("\"language\":"))
+  }
+
+  test("language filtering (unit_tests.py:703-710)") {
+    val myHtml = "<html><head><meta http-equiv=\"content-language\" content=\"EN\"/></head><body><div=\"article-body\"><p>Text.</p></div></body></html>"
+    assert(Extraction.extract(myHtml, null, Zero.copy(lang = "de")) == null)
+    assert(Extraction.extract(myHtml, null, Zero) != null)
+    // justext on same doc yields empty body (unit_tests.py:711)
+    val tree = HtmlParser.loadHtml(myHtml)
+    assert(graft.extract.Justext.tryJustext(tree).children.isEmpty)
+  }
 }
