@@ -114,4 +114,34 @@ class SparkSpec extends AnyFunSuite {
       assert(n == docs.count())
     } finally q.stop()
   }
+
+  test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
+    val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
+    val exact = graft.spark.TextOps.embeddingNearDup(emb, 0.3, cap = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = graft.spark.TextOps.embeddingNearDupLsh(emb, 0.3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), s"LSH produced non-exact pairs: ${(lsh -- exact).take(3)}")
+    if (exact.nonEmpty) {
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.5, s"LSH recall too low: $recall over ${exact.size} pairs")
+    }
+  }
+
+  test("SQL surface: simhash64 expression + extraction UDFs") {
+    graft.spark.SqlSurface.register(spark)
+    graft.spark.DocsTables.documents(spark, sf).createOrReplaceTempView("documents_v")
+    val r = spark.sql(
+      "SELECT doc_id, simhash64(text) AS fp, " +
+        "extract_text(concat('<html><body><article><p>', text, '</p></article></body></html>')) AS t " +
+        "FROM documents_v LIMIT 5").collect()
+    assert(r.length == 5)
+    r.foreach { row =>
+      assert(!row.isNullAt(1))
+      assert(row.getString(2) != null && row.getString(2).nonEmpty)
+    }
+    // expression value agrees with the kernel function
+    val one = spark.sql("SELECT text, simhash64(text) FROM documents_v LIMIT 1").collect()(0)
+    assert(one.getLong(1) == graft.hash.SimHash.createHash(one.getString(0)))
+  }
 }
