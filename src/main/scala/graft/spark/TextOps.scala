@@ -308,4 +308,46 @@ object TextOps {
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** IVF-style ANN: coarse quantizer = the first `nCells` vectors as fixed
+    * centroids (deterministic); vectors are assigned to their nearest
+    * centroid scan-side, queries probe the `nProbe` nearest cells, and the
+    * exact cosine ranks candidates inside the probed cells. Sub-linear in
+    * corpus size per query at the cost of recall (tunable via nProbe). */
+  def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val centroids = base.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val dot = (a: Column, b: Column) => aggregate(zip_with(a, b, (x, y) =>
+      x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
+    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val cos = (a: Column, b: Column) => dot(a, b) / (norm(a) * norm(b))
+    // assign every vector to its nearest centroid (broadcast: centroids tiny)
+    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell_id").asc)
+    val assigned = base.join(broadcast(centroids))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        cos(col("embedding"), col("cvec")).as("ccos"))
+      .withColumn("crank", row_number().over(wCell))
+      .filter(col("crank") === 1)
+      .select(col("vec_id"), col("embedding"), col("cell_id"))
+    // queries probe their nProbe nearest cells
+    val queries = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cell_id").asc)
+    val probes = queries.join(broadcast(centroids))
+      .select(col("qid"), col("qvec"), col("cell_id"), cos(col("qvec"), col("cvec")).as("qcos"))
+      .withColumn("prank", row_number().over(wProbe))
+      .filter(col("prank") <= nProbe)
+      .select(col("qid"), col("qvec"), col("cell_id"))
+    // rank candidates inside probed cells
+    val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
+    probes.join(assigned, Seq("cell_id"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"), cos(col("qvec"), col("embedding")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"))
+  }
 }

@@ -144,4 +144,15 @@ class SparkSpec extends AnyFunSuite {
     val one = spark.sql("SELECT text, simhash64(text) FROM documents_v LIMIT 1").collect()(0)
     assert(one.getLong(1) == graft.hash.SimHash.createHash(one.getString(0)))
   }
+
+  test("IVF ANN: results overlap brute-force top-k") {
+    val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
+    val brute = graft.spark.TextOps.annCosineTopK(emb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = graft.spark.TextOps.annCosineIvf(emb, nQueries = 5, k = 5, nCells = 8, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = ivf.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall unusable: $recall")
+    assert(ivf.size == brute.size)
+  }
 }
