@@ -161,4 +161,41 @@ class HandlerSpec extends AnyFunSuite {
     val converted = Handlers.handleFormatting(element, opts)
     assert(Dom.toXml(converted) == "<p><hi>Here is the text.</hi>And a tail.</p>")
   }
+
+  // ---- sanitize_tree (unit_tests.py:357-376)
+
+  test("sanitize_tree removes unwanted, keeps table (unit_tests.py:361-367)") {
+    val o = opts.copy(tables = true)
+    val doc1 = parse("<html><body><footer>Test text</footer></body></html>")
+    val (_, _, len1) = graft.extract.Fallbacks.sanitizeTree(doc1, o)
+    assert(len1 == 0)
+    val doc2 = parse("<html><body><table><th>Test text</th><tr><td>Test</td></tr></table></body></html>")
+    val (_, _, len2) = graft.extract.Fallbacks.sanitizeTree(doc2, o)
+    assert(len2 > 0)
+  }
+  test("sanitize_tree strips fancy tags; keeps graphic/ref when asked (unit_tests.py:369-376)") {
+    val o = opts.copy(tables = true)
+    val doc = parse("<html><body><p>Text here <fancy>Test text</fancy><a href=\"x\">with a link</a>.</p><img src=\"test.jpg\"/></body></html>")
+    val (tree1, _, _) = graft.extract.Fallbacks.sanitizeTree(doc, o)
+    assert(tree1.iterList(null).count(_.tag == "p") >= 1)
+    val doc2 = parse("<html><body><p>Text here <fancy>Test text</fancy><a href=\"x\">with a link</a>.</p><img src=\"test.jpg\"/></body></html>")
+    val o2 = o.copy(links = true, images = true)
+    val (tree2, _, _) = graft.extract.Fallbacks.sanitizeTree(doc2, o2)
+    val tags = tree2.iterList(null).map(_.tag).toSet
+    assert(tags.contains("graphic") && tags.contains("ref"), tags)
+  }
+
+  // ---- image / link element-level (unit_tests.py:398-402, 424-425)
+
+  test("handle_image attribute selection (unit_tests.py:398-402)") {
+    assert(Handlers.handleImage(parse("<img src=\"test.jpg\"/>")) != null)
+    assert(Handlers.handleImage(parse("<img data-src=\"test.jpg\" alt=\"text\" title=\"a title\"/>")) != null)
+    assert(Handlers.handleImage(parse("<img other=\"test.jpg\"/>")) == null)
+    assert(Handlers.handleTextelem(Dom.elem("graphic"), Set.empty, opts) == null)
+  }
+  test("empty ref handled (unit_tests.py:424-425)") {
+    assert(Handlers.handleTextelem(Dom.elem("ref"), Set.empty, opts) == null)
+    val a = parse("<a href=\"testlink.html\">Test link text.</a>")
+    assert(Handlers.handleFormatting(a, opts) != null)
+  }
 }
