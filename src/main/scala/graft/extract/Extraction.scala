@@ -31,10 +31,8 @@ object Extraction {
     * timeout, core.py:1010-1012): max processed nodes per phase. */
   val MaxNodesPerDoc = 2000000
 
-  /** compare_extraction (core.py:656-714). The readability fork lands in a
-    * follow-up round; until then the algorithm branch yields no text, which
-    * keeps the heuristics' outcome identical whenever our own extraction
-    * found content (len_algo == 0 => algo_flag stays False). */
+  /** compare_extraction (core.py:656-714): arbitrate between our extraction,
+    * the readability-fork candidate, and the jusText rescue. */
   def compareExtraction(tree: Node, backupTree: Node, body: Node, text: String,
       lenTextIn: Int, options: ExtractorOptions): (Node, String, Int) = {
     var (rBody, rText, lenText) = (body, text, lenTextIn)
@@ -58,7 +56,7 @@ object Extraction {
       tempPostAlgo.descendants(Set("h2", "h3", "h4")).nonEmpty && lenAlgo > lenText) algoFlag = true
     else algoFlag = false
     if (algoFlag) { rBody = tempPostAlgo; rText = algoText; lenText = lenAlgo }
-    // justext rescue (stub second fallback for now)
+    // justext rescue (external.py:93-107)
     var jtResult = false
     val dirty = rBody.descendants(Selectors.sanitizedTags).nonEmpty
     if (dirty || lenText < minTargetLength) {
@@ -122,6 +120,8 @@ object Extraction {
       if (options.lang != null && !Filters.checkHtmlLang(tree, options.lang)) return null
       // metadata first (metadata.py works on the uncleaned tree)
       var meta = if (withMetadata) Metadata.extractMetadata(tree, url) else DocMeta()
+      // cut short if extracted URL blacklisted (core.py:913-916)
+      if (meta.url != null && options.urlBlacklist.contains(meta.url)) return null
 
       // backups (core.py:934-935); backup2 only feeds the baseline fallback,
       // which zero-config runs can never trigger (len_text < 0 is false)
@@ -149,6 +149,13 @@ object Extraction {
       if (lenText < options.config.minExtractedSize) {
         val r = Baseline.baseline(treeBackup2)
         postbody = r._1; tempText = r._2; lenText = r._3
+      }
+
+      // tree size sanity check (core.py:964-973)
+      if (options.maxTreeSize > 0) {
+        if (postbody.children.length > options.maxTreeSize)
+          Dom.stripTags(postbody, "hi")
+        if (postbody.children.length > options.maxTreeSize) return null
       }
 
       // size checks (core.py:975-980)
@@ -254,9 +261,8 @@ object Extraction {
   }
 }
 
-/** Fallback arbiters (external.py). The readability-fork and jusText ports
-  * land in the next round; the stubs preserve compare_extraction's decision
-  * structure with an empty algorithm candidate. */
+/** Fallback arbiters (external.py): readability fork + jusText classifier +
+  * sanitize_tree post-processing. */
 object Fallbacks {
   /** try_readability (external.py:37-46). */
   def tryReadability(backupTree: Node): Node = Readability.tryReadability(backupTree)

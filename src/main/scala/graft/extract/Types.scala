@@ -59,7 +59,9 @@ final case class ExtractorOptions(
     tables: Boolean = true,
     dedup: Boolean = false,
     lang: String = null,
-    dedupCache: Deduplicator = null) {
+    dedupCache: Deduplicator = null,
+    urlBlacklist: Set[String] = Set.empty,
+    maxTreeSize: Int = 0) {
   def dedupOn: Boolean = dedup && dedupCache != null
 }
 

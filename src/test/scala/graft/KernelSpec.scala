@@ -501,4 +501,43 @@ class KernelSpec extends AnyFunSuite {
     val tree = HtmlParser.loadHtml(myHtml)
     assert(graft.extract.Justext.tryJustext(tree).children.isEmpty)
   }
+
+  test("language_filter heuristics (filters_tests.py:38-46)") {
+    assert(!graft.extract.Filters.languageFilter("Hier ist ein Text auf Deutsch", "", "de")._1)
+    assert(graft.extract.Filters.languageFilter("Hier ist ein Text auf Deutsch", "", "en")._1)
+    val doc = "<html><body><article><p>How many ages hence/Shall this our lofty scene be acted over,/In states unborn and accents yet unknown!</p></article></body></html>"
+    assert(Extraction.extract(doc, null, Zero.copy(lang = "de")) == null)
+    assert(Extraction.extract(doc, null, Zero.copy(lang = "en")) != null)
+  }
+
+  test("url blacklist (filters_tests.py:65)") {
+    val h = "<html><head><link rel=\"canonical\" href=\"https://example.org/x/y\"/></head><body><p>some text</p></body></html>"
+    assert(Extraction.extract(h, null, Zero.copy(urlBlacklist = Set("https://example.org/x/y"))) == null)
+    assert(Extraction.extract(h, null, Zero) != null)
+  }
+
+  test("max_tree_size (filters_tests.py:67-77)") {
+    val p50 = "<html><body>" + "<p>abc</p>" * 50 + "</body></html>"
+    assert(Extraction.extract(p50, null, ExtractorOptions(maxTreeSize = 500)) != null)
+    val p501 = "<html><body>" + "<p>abc</p>" * 501 + "</body></html>"
+    assert(Extraction.extract(p501, null, ExtractorOptions(maxTreeSize = 500)) == null)
+  }
+
+  test("dedup at document and paragraph level (filters_tests.py:78-92)") {
+    val cache = new graft.extract.Deduplicator(maxSize = 2)
+    val opts = ExtractorOptions(dedup = true, dedupCache = cache)
+    val doc = "<html><body>" + "<p>abc</p>" * 50 + "</body></html>"
+    assert(Extraction.extract(doc, null, opts) != null)
+    assert(Extraction.extract(doc, null, opts) != null)
+    assert(Extraction.extract(doc, null, opts) != null)
+    assert(Extraction.extract(doc, null, opts) == null)
+    // paragraph level
+    val cache2 = new graft.extract.Deduplicator(maxSize = 2)
+    val opts2 = ExtractorOptions(dedup = true, dedupCache = cache2)
+    def mkP = { val n = graft.dom.Dom.elem("p"); n.text = "abc" * 50; n }
+    assert(graft.extract.Handlers.processNode(mkP, opts2) != null)
+    assert(graft.extract.Handlers.processNode(mkP, opts2) != null)
+    assert(graft.extract.Handlers.processNode(mkP, opts2) != null)
+    assert(graft.extract.Handlers.processNode(mkP, opts2) == null)
+  }
 }
