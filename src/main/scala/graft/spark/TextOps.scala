@@ -223,20 +223,24 @@ object TextOps {
 
   // ------------------------------------------------------------ ANN cosine
 
+  /** L2-normalize the embedding once per row so every pairwise stage below
+    * is a dot product only (norms would otherwise be recomputed per PAIR). */
+  private def unitVec(c: Column): Column = {
+    val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    transform(c, x => x.cast("double") / n)
+  }
+  private def dotCol(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
   /** Brute-force cosine top-k: broadcast the query set, one pass over the
     * corpus, per-query top-k via window. The IVF/LSH-bucketed variant keys
     * the same join on a coarse-quantizer bucket instead of a cross join. */
   def annCosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val base = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("u"))
     val queries = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val dot = aggregate(zip_with(col("qvec"), col("embedding"), (a, b) =>
-      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+      .select(col("vec_id").as("qid"), col("u").as("qu"))
     val scored = base.join(broadcast(queries), col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"),
-        (dot / (norm(col("qvec")) * norm(col("embedding")))).as("cos"))
+      .select(col("qid"), col("vec_id").as("nid"), dotCol(col("qu"), col("u")).as("cos"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -258,16 +262,12 @@ object TextOps {
     * embeddingNearDupLsh below; this exact variant feeds the DuckDB oracle). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
       cap: Int = 2000): DataFrame = {
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    val base = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("u"))
       .filter(col("vec_id") < cap)
-    val dot = aggregate(zip_with(col("a_emb"), col("b_emb"), (a, b) =>
-      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
-    base.select(col("vec_id").as("a_id"), col("embedding").as("a_emb"))
-      .join(base.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")),
+    base.select(col("vec_id").as("a_id"), col("u").as("a_u"))
+      .join(base.select(col("vec_id").as("b_id"), col("u").as("b_u")),
         col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+      .select(col("a_id"), col("b_id"), dotCol(col("a_u"), col("b_u")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
   }
