@@ -386,10 +386,21 @@ object Metadata {
     val regex = Pattern.compile("/" + metatype + "[s|ies]?/")
     val rules = if (metatype == "category") categoriesRules else tagsRules
     var results = List.empty[String]
-    val it = rules.iterator
+    // one walk: bucket matching containers per rule index, then first
+    // rule (in order) with qualifying links wins
+    val buckets = Array.fill(rules.length)(List.newBuilder[graft.dom.Node])
+    tree.iterList(null).foreach { n =>
+      if (n ne tree) {
+        var i = 0
+        while (i < rules.length) {
+          if (rules(i).matches(n)) buckets(i) += n
+          i += 1
+        }
+      }
+    }
+    val it = buckets.iterator
     while (it.hasNext && results.isEmpty) {
-      val rule = it.next()
-      val containers = tree.iterList(null).filter(n => (n ne tree) && rule.matches(n))
+      val containers = it.next().result()
       results = containers.flatMap(_.descendants(Set("a")))
         .filter(a => a.get("href") != null && regex.matcher(a.get("href")).find())
         .map(_.textContent)
