@@ -23,13 +23,13 @@ object EvalDiag {
       val res = if (r == null) "" else r
       val fns = expected.filterNot(res.contains)
       val fps = unwanted.filter(res.contains)
-      (file, fns.size, fps.size, fns.take(2).mkString(" || "), r == null)
+      (file, fns.size, fps.size, fps.take(2).mkString(" || "), r == null)
     }.collect()
     val totalFn = diag.map(_._2).sum
     val totalFp = diag.map(_._3).sum
     println(s"DIAG total fn=$totalFn fp=$totalFp nulls=${diag.count(_._5)}")
-    diag.filter(_._2 > 0).sortBy(-_._2).take(25).foreach { case (f, fn, fp, ex, isNull) =>
-      println(f"DIAG $fn%2d fn $fp%2d fp null=$isNull $f%-48s :: $ex")
+    diag.filter(_._3 > 0).sortBy(-_._3).take(15).foreach { case (f, fn, fp, ex, isNull) =>
+      println(f"DIAG $fn%2d fn $fp%2d fp $f%-48s")
     }
     spark.stop()
   }
