@@ -237,40 +237,60 @@ object Dom {
 
   /** lxml.etree `strip_tags(tree, *tags)`: delete matching descendant elements
     * but graft their children and text into the parent in place. Text joins
-    * are direct concatenation (libxml2 merges adjacent text nodes). */
+    * are direct concatenation (libxml2 merges adjacent text nodes).
+    * Single-pass rebuild per parent with StringBuilder text sinks — naive
+    * splicing is quadratic on wide nodes (60k stripped siblings -> minutes). */
   def stripTags(root: Node, tags: String*): Unit = {
     val tagSet = tags.toSet
-    def strip(n: Node): Unit = {
-      // children first so nested matching tags unwrap bottom-up
-      n.children.toList.foreach(strip)
-      if (tagSet.contains(n.tag) && (n ne root) && n.parent != null) {
-        val parent = n.parent
-        val at = n.idx
-        val prev = n.getprevious
-        // merge element text
-        if (n.text != null && n.text.nonEmpty) {
-          if (prev != null) prev.tail = if (prev.tail == null) n.text else prev.tail + n.text
-          else parent.text = if (parent.text == null) n.text else parent.text + n.text
-        }
-        // move children into parent in place of n
-        val kids = n.children.toList
-        parent.children.remove(at)
-        n.parent = null
-        n.idx = -1
-        var insertAt = at
-        kids.foreach { k => k.parent = parent; parent.children.insert(insertAt, k); insertAt += 1 }
-        n.children.clear()
-        var ri = at
-        while (ri < parent.children.length) { parent.children(ri).idx = ri; ri += 1 }
-        // merge tail after last child (or into prev/parent if no children)
-        if (n.tail != null && n.tail.nonEmpty) {
-          val anchor = if (kids.nonEmpty) kids.last else prev
-          if (anchor != null) anchor.tail = if (anchor.tail == null) n.tail else anchor.tail + n.tail
-          else parent.text = if (parent.text == null) n.tail else parent.text + n.tail
+    def process(n: Node): Unit = {
+      // bottom-up so nested matching tags are already unwrapped
+      n.children.foreach(process)
+      if (!n.children.exists(c => tagSet.contains(c.tag))) return
+      val newBuf = new ArrayBuffer[Node](n.children.length)
+      // active text sink: parent text while newBuf empty, else last node tail
+      var sb: java.lang.StringBuilder = null
+      var sinkNode: Node = null // null -> parent text
+      def openSink(): Unit = {
+        if (sb == null) {
+          sb = new java.lang.StringBuilder
+          if (sinkNode == null) { if (n.text != null) sb.append(n.text) }
+          else if (sinkNode.tail != null) sb.append(sinkNode.tail)
         }
       }
+      def flushSink(): Unit = {
+        if (sb != null) {
+          val t = sb.toString
+          val v = if (t.isEmpty) null else t
+          if (sinkNode == null) n.text = v else sinkNode.tail = v
+          sb = null
+        }
+      }
+      def addNode(c: Node): Unit = {
+        flushSink()
+        newBuf += c
+        c.parent = n
+        sinkNode = c
+      }
+      def addText(t: String): Unit = {
+        if (t != null && t.nonEmpty) { openSink(); sb.append(t) }
+      }
+      n.children.foreach { c =>
+        if (tagSet.contains(c.tag)) {
+          addText(c.text)
+          c.children.foreach(addNode)
+          c.children.clear()
+          c.parent = null
+          c.idx = -1
+          addText(c.tail)
+        } else addNode(c)
+      }
+      flushSink()
+      n.children.clear()
+      n.children ++= newBuf
+      var i = 0
+      while (i < n.children.length) { n.children(i).idx = i; i += 1 }
     }
-    strip(root)
+    process(root)
   }
 
   /** Serialize a subtree to XML-ish markup (tests/debug; spans are the real

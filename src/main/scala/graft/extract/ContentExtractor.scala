@@ -47,6 +47,7 @@ object ContentExtractor {
       searchTags.contains(e.tag) ||
         (e.tag == "div" && e.get("class", "").contains("w3-code")))
     subelems.foreach { e =>
+      KernelBudget.check()
       val r = Handlers.handleTextelem(e, potentialTags, options)
       if (r != null) resultBody.append(r)
     }
@@ -89,6 +90,7 @@ object ContentExtractor {
           var subelems = subtree.descendants(null)
           if (subelems.nonEmpty && subelems.forall(_.tag == "lb")) subelems = List(subtree)
           subelems.foreach { e =>
+            KernelBudget.check()
             val r = Handlers.handleTextelem(e, potentialTags, options)
             if (r != null) resultBody.append(r)
           }

@@ -113,6 +113,7 @@ object Extraction {
 
   def bareExtractionTree(treeIn: Node, url: String, options: ExtractorOptions,
       withMetadata: Boolean): BareResult = {
+    KernelBudget.start(options.config.extractionTimeoutSec)
     try {
       val tree = treeIn
       // quick and dirty HTML lang check (core.py:905-908; LANGID_FLAG=False
@@ -186,7 +187,7 @@ object Extraction {
     } catch {
       case e: StackOverflowError => if (Extraction.rethrow) throw e else null
       case scala.util.control.NonFatal(e) => if (Extraction.rethrow) throw e else null
-    }
+    } finally KernelBudget.clear()
   }
 
   /** extract (core.py:1015-1106) with txt output; returns null if discarded. */

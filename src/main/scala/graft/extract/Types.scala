@@ -11,7 +11,8 @@ final case class TrafConfig(
     minDuplcheckSize: Int = 100,
     maxRepetitions: Int = 2,
     maxFileSize: Int = 20000000,
-    minFileSize: Int = 10)
+    minFileSize: Int = 10,
+    extractionTimeoutSec: Int = 30)
 
 object TrafConfig {
   val Default: TrafConfig = TrafConfig()
@@ -63,6 +64,19 @@ final case class ExtractorOptions(
     urlBlacklist: Set[String] = Set.empty,
     maxTreeSize: Int = 0) {
   def dedupOn: Boolean = dedup && dedupCache != null
+}
+
+/** Cooperative per-document deadline (EXTRACTION_TIMEOUT analogue,
+  * core.py:1010-1012 — signals don't exist per Spark task, so the hot loops
+  * poll). Thread-local: one doc per task thread at a time. */
+object KernelBudget {
+  final class BudgetExceeded extends RuntimeException("per-doc extraction budget exceeded")
+  private val deadline = new ThreadLocal[Long] { override def initialValue(): Long = Long.MaxValue }
+  def start(timeoutSec: Int): Unit =
+    deadline.set(if (timeoutSec <= 0) Long.MaxValue else System.nanoTime() + timeoutSec * 1000000000L)
+  def clear(): Unit = deadline.set(Long.MaxValue)
+  @inline def check(): Unit =
+    if (System.nanoTime() > deadline.get()) throw new BudgetExceeded
 }
 
 object Kernel {

@@ -148,8 +148,14 @@ object HtmlParser {
     def text(t: String): Unit
   }
 
+  /** Cooperative node budget per document (SIGALRM-timeout analogue,
+    * core.py:1010-1012): pathological inputs stop growing the tree instead
+    * of stalling an executor task. */
+  val MaxNodes: Int = 2000000
+
   private final class Builder extends TokenSink {
     val root = new Node("html")
+    private var nodeCount = 0
     private var head: Node = null
     private var body: Node = null
     private val stack = scala.collection.mutable.ArrayBuffer[Node](root)
@@ -260,6 +266,8 @@ object HtmlParser {
     }
 
     private def openIn(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+      nodeCount += 1
+      if (nodeCount > MaxNodes) return // budget exhausted: drop further elements
       val n = new Node(name)
       attrs.foreach { case (k, v) => if (!n.has(k)) n.set(k, v) }
       cur.append(n)

@@ -54,8 +54,11 @@ object ExtractPipeline {
   def extractRow(row: DocRow, options: ExtractorOptions): ResultRow = {
     val t0 = System.nanoTime()
     val html = htmlPayload(row.spans)
+    // MAX_FILE_SIZE / MIN_FILE_SIZE gates (cli_utils.py:388-393)
+    val sizeOk = html != null && html.length >= options.config.minFileSize &&
+      html.length <= options.config.maxFileSize
     val doc: ExtractedDoc =
-      if (html == null) null
+      if (!sizeOk) null
       else Extraction.extractDoc(html, null, row.doc_id, options)
     val media = row.spans.filter(s => s.kind != "html" && s.kind != "text")
     if (doc == null) {
