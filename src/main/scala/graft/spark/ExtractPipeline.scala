@@ -116,7 +116,12 @@ object ExtractPipeline {
     * is split into `buckets` by hash(doc_id); each bucket is written to its
     * own directory followed by an atomic JSON manifest recording lineage +
     * extraction metrics. A restarted run skips committed buckets — the north
-    * rule's per-partition checkpointed resume. */
+    * rule's per-partition checkpointed resume.
+    *
+    * Scan economics: against a raw table each bucket filter re-scans the
+    * input; on the intended doc_id-hash-bucketed table layout (Iceberg
+    * bucket(doc_id) partitioning) the same predicate partition-prunes each
+    * pass to 1/buckets of the files, so total scan volume stays ~1x. */
   def runWithCommitLog(spark: SparkSession, input: Dataset[DocRow],
       outDir: String, options: ExtractorOptions, buckets: Int = 8): Seq[String] = {
     import spark.implicits._
