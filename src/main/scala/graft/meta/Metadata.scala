@@ -464,6 +464,14 @@ object Metadata {
       val c = e.get("content")
       if (c != null) { val m = IsoDate.matcher(c); if (m.find()) return m.group(0) }
     }
+    // JSON-LD datePublished/dateCreated (htmldate reads these too)
+    tree.iterList(Set("script")).foreach { sc =>
+      if (sc.get("type") == "application/ld+json" && sc.text != null) {
+        val m = Pattern.compile("\"date(Published|Created)\"\s*:\s*\"(\d{4}-\d{2}-\d{2})")
+          .matcher(sc.text)
+        if (m.find()) return m.group(2)
+      }
+    }
     tree.descendants(Set("time")).foreach { t =>
       val dt = t.get("datetime")
       if (dt != null) { val m = IsoDate.matcher(dt); if (m.find()) return m.group(0) }

@@ -114,4 +114,45 @@ class TeiSpec extends AnyFunSuite {
     assert(s.contains("<hi rend=\"uppercase\">Hello</hi>"), s.take(300))
     assert(s.contains("<p>Teletype text</p>"), s.take(300))
   }
+
+  // ---- strip_double_tags / remove_empty_elements (unit_tests.py:552-648)
+
+  private def parseX(x: String) = HtmlParser.parseXmlLike(x)
+
+  test("strip_double_tags: nested p flattened (unit_tests.py:581-592)") {
+    val tree = parseX("<html><body><div><p>text1<lb/>text2<p>text3</p><lb/>text4</p><p>text5<p>text6</p></p></div></body></html>")
+    graft.out.Serializers.stripDoubleTags(tree)
+    assert(!tree.iterList(Set("p")).exists(p => p.children.exists(_.tag == "p")))
+  }
+
+  test("strip_double_tags: deep nesting keeps text (unit_tests.py:593-605)") {
+    val tree = parseX("<html><body><div><p>text1<lb/>text2<p>text3</p><lb/>text4</p><p>text5<p>text6<p>text7</p></p></p></div></body></html>")
+    graft.out.Serializers.stripDoubleTags(tree)
+    assert(!tree.iterList(Set("p")).exists(p => p.children.exists(_.tag == "p")))
+    assert(graft.dom.Dom.toXml(tree).contains("text7"))
+  }
+
+  test("strip_double_tags: whitelist parents keep nested p (unit_tests.py:607-648)") {
+    val tree = parseX("<html><body><div>" +
+      "<p><list><item><p>text</p></item></list></p>" +
+      "<p><table><row><cell><p>text1</p></cell></row></table></p>" +
+      "<p><note><p>text2</p></note></p>" +
+      "<p><quote><p>text3</p></quote></p>" +
+      "<p><figure><p>text4</p></figure></p>" +
+      "</div></body></html>")
+    graft.out.Serializers.stripDoubleTags(tree)
+    for (parent <- List("item", "cell", "quote", "note", "figure")) {
+      val hit = tree.iterList(Set(parent)).exists(_.children.exists(_.tag == "p"))
+      assert(hit, s"nested p under $parent should survive")
+    }
+  }
+
+  test("merge_with_parent over spans (unit_tests.py:667-677)") {
+    val doc = parseX("<html><body><p><span>A</span><span>B</span><span>C</span></p></body></html>")
+    doc.iterList(Set("span")).foreach(graft.out.Serializers.mergeWithParent(_))
+    assert(graft.dom.Dom.toXml(doc).contains("<p>A B C</p>"))
+    val doc2 = parseX("<html><body><p><span>A</span><span>B</span> tail<span>C</span></p></body></html>")
+    doc2.iterList(Set("span")).foreach(graft.out.Serializers.mergeWithParent(_))
+    assert(graft.dom.Dom.toXml(doc2).contains("<p>A B tail C</p>"))
+  }
 }
