@@ -467,7 +467,7 @@ object Metadata {
     // JSON-LD datePublished/dateCreated (htmldate reads these too)
     tree.iterList(Set("script")).foreach { sc =>
       if (sc.get("type") == "application/ld+json" && sc.text != null) {
-        val m = Pattern.compile("\"date(Published|Created)\"\s*:\s*\"(\d{4}-\d{2}-\d{2})")
+        val m = Pattern.compile("\"date(Published|Created)\"\\s*:\\s*\"(\\d{4}-\\d{2}-\\d{2})")
           .matcher(sc.text)
         if (m.find()) return m.group(2)
       }
