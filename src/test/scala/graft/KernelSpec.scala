@@ -540,4 +540,18 @@ class KernelSpec extends AnyFunSuite {
     assert(graft.extract.Handlers.processNode(mkP, opts2) != null)
     assert(graft.extract.Handlers.processNode(mkP, opts2) == null)
   }
+
+  test("is_similar_domain (utils.py:363-371)") {
+    assert(TextUtils.isSimilarDomain("example.org", "example.org"))
+    assert(TextUtils.isSimilarDomain("example.org", "example.com"))
+    assert(!TextUtils.isSimilarDomain("example.org", "totally-different.net"))
+  }
+
+  test("stricter config discards short docs (unit_tests.py:706, NEW_CONFIG analogue)") {
+    val strict = ExtractorOptions(config = graft.extract.TrafConfig(
+      minExtractedSize = 10000, minOutputSize = 10000))
+    val h = "<html><head><meta http-equiv=\"content-language\" content=\"EN\"/></head><body><div=\"article-body\"><p>Text.</p></div></body></html>"
+    assert(Extraction.extract(h, null, strict) == null)
+    assert(Extraction.extract(h, null, Zero) != null)
+  }
 }
