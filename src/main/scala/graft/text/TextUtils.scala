@@ -181,7 +181,7 @@ object TextUtils {
     else 2.0 * matches(0, a.length, 0, b.length) / total
   }
 
-  private val StripExtension = Pattern.compile("\.[^/?#]{2,63}$")
+  private val StripExtension = Pattern.compile("\\.[^/?#]{2,63}$")
 
   /** is_similar_domain (utils.py:363-371). */
   def isSimilarDomain(reference: String, newString: String, threshold: Double = 0.5): Boolean = {
