@@ -155,4 +155,26 @@ class SparkSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"IVF recall unusable: $recall")
     assert(ivf.size == brute.size)
   }
+
+  test("watermarked windowed aggregation over the events stream") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val agg = graft.spark.StreamOps.windowedEventStats(stream)
+    val q = agg.writeStream.format("memory").queryName("event_stats")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // append mode emits only watermark-closed windows; compare against the
+      // batch plan over the same input for the emitted subset
+      val streamed = spark.sql("SELECT * FROM event_stats")
+      val batch = graft.spark.StreamOps.windowedEventStatsBatch(spark, sf)
+      val joined = streamed.as("s").join(batch.as("b"),
+        Seq("win_start", "event_type"))
+        .filter(col("s.n") =!= col("b.n"))
+      assert(joined.count() == 0, "streamed window counts disagree with batch")
+    } finally q.stop()
+  }
 }
