@@ -52,7 +52,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
 
     var spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -63,19 +63,18 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
-    // extraction throughput at the requested parallelism; the workload is
-    // sized so the low-parallelism run is tens of seconds of real kernel
-    // work — small runs measure job-fixed overhead, not scaling
+    // extraction workload sized so the low-parallelism run is tens of
+    // seconds of real kernel work — small runs measure job-fixed overhead
     val nDocsBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val factor = math.max(1, (400000 / math.max(1L, nDocsBase)).toInt)
-    val (docsN, extractSec) = extractionRun(spark, sfDir, factor)
-    val tput = docsN / extractSec
-
-    // scaling evidence: identical job, identical input, at N and 4N threads.
-    // Primary pair is local[4] vs local[16]; local[32] is also reported, but
-    // at full host width the measurement competes with GC/OS threads on the
-    // 32-core box, so the 8->32 ratio understates the pipeline's scaling.
     spark.stop()
+
+    // scaling evidence: identical job, identical input, at N and 4N threads,
+    // EACH in a fresh JVM session (no GC/JIT debris from the query suite —
+    // the headline extract number IS the full-width scaling run, so the two
+    // blocks can't disagree). Primary pair is local[4] vs local[16]; at full
+    // host width (32) worker threads compete with GC/OS threads on the
+    // 32-core box, so the 4->32 ratio understates the pipeline's scaling.
     val levels = Seq(4, 16, 32).map { c =>
       spark = session(c)
       val (n, t) = extractionRun(spark, sfDir, factor)
@@ -88,12 +87,18 @@ object Bench {
     val efficiency = hi._4 / ((hi._1.toDouble / lo._1) * lo._4)
     val efficiency32 = full._4 / ((full._1.toDouble / lo._1) * lo._4)
 
-    println(
+    val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
-        f""""extract":{"docs":$docsN,"sec":$extractSec%.3f,"docs_per_sec":$tput%.1f},""" +
+        f""""extract":{"docs":${full._2},"sec":${full._3}%.3f,"docs_per_sec":${full._4}%.1f},""" +
         f""""scaling":{"cpus_lo":${lo._1},"cpus_hi":${hi._1},"docs":${lo._2},""" +
         f""""sec_lo":${lo._3}%.3f,"sec_hi":${hi._3}%.3f,"docs_per_sec_lo":${lo._4}%.1f,""" +
         f""""docs_per_sec_hi":${hi._4}%.1f,"efficiency":$efficiency%.3f,""" +
-        f""""sec_32":${full._3}%.3f,"docs_per_sec_32":${full._4}%.1f,"efficiency_8x":$efficiency32%.3f}}""")
+        f""""sec_32":${full._3}%.3f,"docs_per_sec_32":${full._4}%.1f,"efficiency_8x":$efficiency32%.3f}}"""
+    println(json)
+    // also land the line in a file: the driver's stdout parse drowns in sbt
+    // log noise otherwise (BENCH_r01 "parsed": null)
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH.json")
+    java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 }

@@ -47,23 +47,55 @@ object SparkEntry {
     // --- deduplication family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(DocsTables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => TextOps.dedupMinhash(DocsTables.documents(s, dir))),
-    "simhash_fp" -> ((s, dir) => TextOps.simhashFingerprints(s, DocsTables.documents(s, dir))),
+    // simhash determinism shaped for SQL: identical texts under two ids must
+    // fingerprint identically -> hamming 0, predictable without blake2b
+    "simhash_fp" -> ((s, dir) => TextOps.simhashPairs(s, DocsTables.documents(s, dir))),
     // --- similarity search
     "ann_cosine" -> ((s, dir) =>
       TextOps.annCosineTopK(DocsTables.embeddings(s, dir))
         .withColumn("rank", col("rank").cast("long"))),
     "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5)),
     // --- multimodal plumbing (binary blobs + typed metadata; stubbed codec)
-    "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir))
+    "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir)),
+    // --- relational surface: 3-way join + agg over the TPC-H-ish tables
+    // (nation broadcast, lineitem->orders->customer shuffle joins on keys)
+    "tpch_revenue" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val n = s.read.parquet(s"$dir/nation.parquet")
+      // decimal arithmetic: exact + associative, so the sum is identical to
+      // DuckDB's regardless of partition/row ordering (doubles would not be)
+      val item = col("l_extendedprice").cast("decimal(18,4)") *
+        (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(item).cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .select(col("n_name"), col("revenue"), col("n_items"))
+    })
   )
 
   private def withLongCounts(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
 
   /** DuckDB oracle SQL per query (column names/types aligned with the Spark
-    * outputs; "span_offset" avoids the OFFSET keyword). simhash_fp has no
-    * SQL-expressible oracle (blake2b) → rows-only check. */
+    * outputs; "span_offset" avoids the OFFSET keyword). */
   def oracleSql: Map[String, String] = Map(
+    "simhash_fp" ->
+      """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents""".stripMargin,
+    "tpch_revenue" ->
+      """SELECT n_name,
+        | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name""".stripMargin,
     "extract_text" ->
       "SELECT CAST(doc_id AS VARCHAR) AS doc_id, text FROM documents",
     "extract_spans" -> (

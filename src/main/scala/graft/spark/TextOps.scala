@@ -125,12 +125,19 @@ object TextOps {
       |   array_to_string(list_slice(string_split(text,' '), 1, len(string_split(text,' ')) - 3), ' ') AS text
       | FROM documents)""".stripMargin
 
-  /** Exact dedup: hash-groupBy on text over the duplicated corpus
-    * (documents ∪ documents): one shuffle, map-side partial agg. */
+  /** Exact dedup over the duplicated corpus (documents ∪ documents).
+    * 100 TB plan: the shuffle key is two independent 64-bit hashes of the
+    * text (16 bytes/row), never the text itself — a (h1,h2) bucket equals the
+    * exact-text equality class up to a ~2^-128 per-pair collision, so the
+    * result is identical to grouping by text while the shuffle stays
+    * key-sized. Map-side partial agg still applies (one shuffle total). */
   def dedupExact(docs: DataFrame): DataFrame = {
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-    corpus.groupBy(col("text"))
+    corpus
+      .select(col("doc_id"),
+        xxhash64(col("text")).as("h1"), xxhash64(col("text"), lit(1)).as("h2"))
+      .groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
   }
@@ -148,41 +155,87 @@ object TextOps {
   val LshRows = 4 // 32 bands x 4 rows: P(miss | j=0.8) ≈ 4.6e-8 per pair
 
   /** 3-word shingles as a distinct set. */
-  private def shingles(textCol: Column): Column = {
+  private[graft] def shingles(textCol: Column): Column = {
     val w = split(textCol, " ")
     array_distinct(transform(sequence(lit(1), size(w) - 2),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
   }
 
+  /** 3-word shingles hashed to int64, via zip_with over shifted slices:
+    * O(words) per row with ~3 splits total. The naive
+    * `transform(sequence, i => ...element_at(w,i)...)` form re-inlines the
+    * `split` per element (CollapseProject), costing O(words²) per row — 4×
+    * slower end-to-end at sf0.1. Equivalence with `shingles` + xxhash64 is
+    * test-verified. */
+  private[graft] def hashedShingles(textCol: Column): Column = {
+    val ws = split(textCol, " ")
+    val pairs = zip_with(ws, slice(ws, lit(2), size(ws)), (a, b) => concat(a, lit(" "), b))
+    val triples = zip_with(pairs, slice(ws, lit(3), size(ws)),
+      (ab, c) => xxhash64(concat(ab, lit(" "), c)))
+    array_distinct(slice(triples, lit(1), greatest(size(ws) - 2, lit(0))))
+  }
+
   /** MinHash+LSH near-dup pairs with exact-Jaccard verification:
     * signatures (map-only) -> band explode -> equi-join on (band, hash) ->
     * exact 3-shingle Jaccard >= threshold. The final filter makes the output
-    * exact (LSH only prunes), so a cross-join DuckDB oracle verifies it. */
-  def dedupMinhash(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    * exact (LSH only prunes), so a cross-join DuckDB oracle verifies it.
+    *
+    * Scale shape: every shingle string is hashed to int64 ONCE at the scan
+    * (`xxhash64(s)`); the 128 permutation hashes then hash 8-byte longs (not
+    * strings), and the verify joins ship long arrays (8 B/shingle) instead of
+    * string arrays. Jaccard over the hashed sets equals Jaccard over the
+    * string sets up to 64-bit collisions inside one pair's shingle union
+    * (~n²/2^64, negligible at any per-doc shingle count).
+    *
+    * `bucketCap > 0` is the 100 TB degenerate-bucket guard: LSH buckets with
+    * more than `bucketCap` members are dropped from candidate generation
+    * (bucket list computed once, broadcast anti-join). A pair that only
+    * collided in a dropped bucket is lost — acceptable recall trade at scale
+    * (a j≥0.8 pair collides in ~13 of 32 bands in expectation); keep 0 for
+    * the exact oracle path. */
+  def dedupMinhash(docs: DataFrame, threshold: Double = 0.8,
+      bucketCap: Int = 0): DataFrame = {
     val corpus = nearDupCorpus(docs)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // signatures via explode + 128 codegen'd min-aggregates: a nested
-    // transform-over-transform would re-inline the shingle construction per
-    // permutation (CollapseProject) and fall back to interpreted eval
+    // One doc_id shuffle produces BOTH the 128 signature mins and the exact
+    // shingle set for verification (collect_set in the same aggregate) — the
+    // scan+shingle work happens once; every downstream branch (bands, both
+    // candidate sides, both verify sides) hangs off this single table, so
+    // Spark's ReuseExchange serves them from the one shuffle write.
+    // Signatures via explode + 128 codegen'd min-aggregates of 8-byte longs:
+    // each shingle string is hashed once at the scan; the permutations hash
+    // longs, not strings. (A nested transform-over-transform would re-inline
+    // the shingle construction per permutation and eval interpreted.)
     val exploded = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
     val hashed = exploded.select(
-      col("doc_id") +: (0 until MinhashPerms).map(i => xxhash64(col("s"), lit(i)).as(s"h$i")): _*)
+      col("doc_id") +: col("s") +: (0 until MinhashPerms).map(i => xxhash64(col("s"), lit(i)).as(s"h$i")): _*)
     val sigs = hashed.groupBy(col("doc_id"))
-      .agg(min(col("h0")).as("m0"), (1 until MinhashPerms).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-    val mh = sigs.select(col("doc_id"),
-      array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("mh"))
-    val bands = mh.select(col("doc_id"),
+      .agg(collect_set(col("s")).as("shset"),
+        (0 until MinhashPerms).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("doc_id"), col("shset"),
+        array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("mh"))
+      .persist()
+    val allBands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
+    val bands =
+      if (bucketCap <= 0) allBands
+      else {
+        val hot = allBands.groupBy(col("band"), col("bhash"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bucketCap)
+          .select(col("band"), col("bhash"))
+        allBands.join(broadcast(hot), Seq("band", "bhash"), "left_anti")
+      }
     val candidates = bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.bhash") === col("b.bhash") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
+    // verify joins ship long arrays (8 B/shingle) only for candidate rows
     val withSets = candidates
-      .join(corpus.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), Seq("id_a"))
-      .join(corpus.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), Seq("id_b"))
+      .join(sigs.select(col("doc_id").as("id_a"), col("shset").as("sh_a")), Seq("id_a"))
+      .join(sigs.select(col("doc_id").as("id_b"), col("shset").as("sh_b")), Seq("id_b"))
     withSets.select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))) /
           size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
@@ -219,6 +272,27 @@ object TextOps {
     docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
       .map { case (id, text) => (id, graft.hash.SimHash.contentFingerprint(text)) }
       .toDF("doc_id", "fingerprint")
+  }
+
+  /** SimHash shaped for a SQL oracle: fingerprint the duplicated corpus
+    * (every text twice, under doc_id and doc_id+1000000 — two independent
+    * hash computations), join the copies back on id, and emit the hamming
+    * distance between the two fingerprints. Identical texts must produce
+    * identical 64-bit simhashes, so DuckDB predicts every row —
+    * (id, id+1000000, 0) — without being able to compute blake2b itself.
+    * Map-only fingerprinting; the self-join keys on the 8-byte id. */
+  def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val corpus = docs.select(col("doc_id").cast("long"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).cast("long"), col("text")))
+    val fps = corpus.as[(Long, String)]
+      .map { case (id, text) => (id, graft.hash.SimHash.createHash(text)) }
+      .toDF("doc_id", "fp")
+    fps.filter(col("doc_id") < 1000000L).as("a")
+      .join(fps.filter(col("doc_id") >= 1000000L).as("b"),
+        col("a.doc_id") === col("b.doc_id") - 1000000L)
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
   }
 
   // ------------------------------------------------------------ ANN cosine
@@ -313,35 +387,50 @@ object TextOps {
     * centroids (deterministic); vectors are assigned to their nearest
     * centroid scan-side, queries probe the `nProbe` nearest cells, and the
     * exact cosine ranks candidates inside the probed cells. Sub-linear in
-    * corpus size per query at the cost of recall (tunable via nProbe). */
+    * corpus size per query at the cost of recall (tunable via nProbe).
+    *
+    * Scale shape: the centroids are collected to the driver ONCE (this is a
+    * model-fit step — O(nCells·dim) bytes, the same shape as `KMeans.fit`)
+    * and baked into the plan as L2-normalized literal arrays, so centroid
+    * assignment is a pure map-side argmax over nCells literal dot products:
+    * no join, no ×nCells row blow-up, no window shuffle — `explain` shows no
+    * Exchange before the probe⋈cell join. argmax over dot(v, ĉ_i) equals
+    * argmax over cos(v, c_i) because ‖v‖ is a common positive factor. */
   def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val centroids = base.filter(col("vec_id") < nCells)
-      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val cents: Array[(Int, Array[Double])] = base.filter(col("vec_id") < nCells)
+      .collect()
+      .map { r =>
+        val arr = r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+        val n = math.sqrt(arr.iterator.map(x => x * x).sum)
+        (r.getLong(0).toInt, arr.map(_ / n))
+      }
+      .sortBy(_._1)
+    def dotLit(cn: Array[Double]): Column =
+      aggregate(zip_with(col("embedding"), array(cn.map(lit): _*),
+        (x, y) => x.cast("double") * y), lit(0.0d), (acc, x) => acc + x)
+    // map-side argmax: first index of the max dot (ties -> lowest cell_id,
+    // matching the previous window tie-break ccos desc / cell_id asc)
+    val dotArr = array(cents.map { case (_, cn) => dotLit(cn) }: _*)
+    val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
+    val assigned = base.withColumn("cell_id",
+      element_at(cellIds, array_position(dotArr, array_max(dotArr)).cast("int")))
+    // queries probe their nProbe nearest cells: map-side sort of the nCells
+    // (−dot, cell_id) structs, slice, explode — still no shuffle
+    val probeStructs = array_sort(array(cents.map { case (id, cn) =>
+      struct((-dotLit(cn)).as("negd"), lit(id).as("cell_id"))
+    }: _*))
+    val probes = base.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("qid"), col("embedding"),
+        explode(slice(probeStructs, 1, nProbe)).as("pr"))
+      .select(col("qid"), col("embedding").as("qvec"), col("pr.cell_id").as("cell_id"))
     val dot = (a: Column, b: Column) => aggregate(zip_with(a, b, (x, y) =>
       x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
     val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
       (acc, x) => acc + x.cast("double") * x.cast("double")))
     val cos = (a: Column, b: Column) => dot(a, b) / (norm(a) * norm(b))
-    // assign every vector to its nearest centroid (broadcast: centroids tiny)
-    val wCell = Window.partitionBy(col("vec_id")).orderBy(col("ccos").desc, col("cell_id").asc)
-    val assigned = base.join(broadcast(centroids))
-      .select(col("vec_id"), col("embedding"), col("cell_id"),
-        cos(col("embedding"), col("cvec")).as("ccos"))
-      .withColumn("crank", row_number().over(wCell))
-      .filter(col("crank") === 1)
-      .select(col("vec_id"), col("embedding"), col("cell_id"))
-    // queries probe their nProbe nearest cells
-    val queries = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val wProbe = Window.partitionBy(col("qid")).orderBy(col("qcos").desc, col("cell_id").asc)
-    val probes = queries.join(broadcast(centroids))
-      .select(col("qid"), col("qvec"), col("cell_id"), cos(col("qvec"), col("cvec")).as("qcos"))
-      .withColumn("prank", row_number().over(wProbe))
-      .filter(col("prank") <= nProbe)
-      .select(col("qid"), col("qvec"), col("cell_id"))
-    // rank candidates inside probed cells
+    // rank candidates inside probed cells (the one genuine shuffle)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     probes.join(assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("qid"))

@@ -145,6 +145,49 @@ class SparkSpec extends AnyFunSuite {
     assert(one.getLong(1) == graft.hash.SimHash.createHash(one.getString(0)))
   }
 
+  test("hashedShingles (zip_with form) equals shingles+xxhash64 (element_at form)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.spark.DocsTables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = graft.spark.TextOps.nearDupCorpus(docs)
+    val old = corpus.select(col("doc_id"), array_sort(array_distinct(
+      transform(graft.spark.TextOps.shingles(col("text")), s => xxhash64(s)))).as("o"))
+    val neu = corpus.select(col("doc_id"),
+      array_sort(graft.spark.TextOps.hashedShingles(col("text"))).as("n"))
+    assert(old.join(neu, "doc_id").filter(col("o") =!= col("n")).count() == 0)
+  }
+
+  test("dedupMinhash bucketCap: bounded buckets yield a subset of exact output") {
+    val docs = graft.spark.DocsTables.documents(spark, "/root/testdata/sf0.001")
+    val full = graft.spark.TextOps.dedupMinhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = graft.spark.TextOps.dedupMinhash(docs, bucketCap = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(full), s"capped produced pairs outside exact: ${(capped -- full).take(3)}")
+    assert(full.nonEmpty)
+  }
+
+  test("dedupExact plan shuffles hash keys, not text") {
+    val docs = graft.spark.DocsTables.documents(spark, sf)
+    val plan = graft.spark.TextOps.dedupExact(docs).queryExecution.executedPlan.toString
+    assert(plan.contains("xxhash64"), "expected xxhash64 bucket keys in the plan")
+    // the aggregate keys are the two hashes; text is pruned before the exchange
+    val exchangeDown = plan.split("Exchange").last
+    assert(!exchangeDown.contains("text#") || exchangeDown.contains("xxhash64"),
+      "text column should not survive past the exchange")
+  }
+
+  test("IVF assignment is map-side: no nested-loop join, single window in plan") {
+    val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
+    val plan = graft.spark.TextOps.annCosineIvf(emb, nQueries = 5, k = 5, nCells = 8, nProbe = 4)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), "keyless centroid join crept back in")
+    assert(!plan.contains("CartesianProduct"))
+    // exactly one Window NODE (the final top-k; WindowGroupLimit is its
+    // pushed-down partial) — the old plan had a second, per-vector argmax one
+    val windowNodes = plan.linesIterator.count(_.matches(""".*[+:\-]- Window \[.*"""))
+    assert(windowNodes == 1, s"expected 1 Window node, got $windowNodes")
+  }
+
   test("IVF ANN: results overlap brute-force top-k") {
     val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
     val brute = graft.spark.TextOps.annCosineTopK(emb, nQueries = 5, k = 5)
