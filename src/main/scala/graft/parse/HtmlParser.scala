@@ -76,30 +76,97 @@ object HtmlParser {
           out.toByteArray
         } catch { case _: java.io.IOException => bytes }
       } else bytes
-    val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
-      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
-    try dec.decode(java.nio.ByteBuffer.wrap(content)).toString
-    catch {
-      case _: java.nio.charset.CharacterCodingException =>
-        // meta-declared charset sniff over the head bytes (detect_encoding
-        // analogue, utils.py:108-126), Latin-1 as the lossy last resort
-        val head = new String(content, 0, math.min(content.length, 4096),
-          java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
-        val m = java.util.regex.Pattern
-          .compile("charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)").matcher(head)
-        val declared =
-          if (m.find()) {
-            try Some(java.nio.charset.Charset.forName(m.group(1)))
-            catch { case _: Exception => None }
-          } else None
-        declared match {
-          case Some(cs) if cs != java.nio.charset.StandardCharsets.UTF_8 =>
-            try new String(content, cs)
-            catch { case _: Exception => new String(content, java.nio.charset.StandardCharsets.ISO_8859_1) }
-          case _ => new String(content, java.nio.charset.StandardCharsets.ISO_8859_1)
-        }
+    strictDecode(content, java.nio.charset.StandardCharsets.UTF_8).getOrElse {
+      // detect_encoding analogue (utils.py:99-157, cchardet cascade over the
+      // first 15 kB): (1) every meta-declared charset in document order —
+      // first that decodes the WHOLE payload cleanly wins, which skips bogus
+      // injected declarations (an archive.org wrapper script saying utf-8
+      // ahead of the page's real gb2312 meta); (2) chardet-lite byte-
+      // frequency scoring of common legacy codecs; (3) lossy Latin-1.
+      val head = new String(content, 0, math.min(content.length, 15000),
+        java.nio.charset.StandardCharsets.ISO_8859_1).toLowerCase
+      val m = java.util.regex.Pattern
+        .compile("charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)").matcher(head)
+      val declared = scala.collection.mutable.LinkedHashSet[java.nio.charset.Charset]()
+      while (m.find()) {
+        try declared += java.nio.charset.Charset.forName(m.group(1))
+        catch { case _: Exception => () }
+      }
+      declared.iterator
+        .filter(_ != java.nio.charset.StandardCharsets.UTF_8)
+        .flatMap(cs => strictDecode(content, cs))
+        .nextOption()
+        .orElse(detectByFrequency(content).map(cs => lossyDecode(content, cs)))
+        .getOrElse(new String(content, java.nio.charset.StandardCharsets.ISO_8859_1))
     }
   }
+
+  private def strictDecode(content: Array[Byte],
+      cs: java.nio.charset.Charset): Option[String] = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    try Some(dec.decode(java.nio.ByteBuffer.wrap(content)).toString)
+    catch { case _: java.nio.charset.CharacterCodingException => None }
+  }
+
+  private def lossyDecode(content: Array[Byte], cs: java.nio.charset.Charset): String = {
+    val dec = cs.newDecoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPLACE)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPLACE)
+    dec.decode(java.nio.ByteBuffer.wrap(content)).toString
+  }
+
+  /** chardet-lite: score candidate legacy codecs by how much of the
+    * high-byte payload decodes into that codec's coherent letter ranges
+    * (CJK/kana for the East-Asian multi-byte codecs, Cyrillic for cp1251,
+    * Latin letters/punctuation for cp1252), penalizing malformed sequences
+    * 3x. GB18030 decodes almost any byte pair, so it carries a 0.85 prior:
+    * it wins only when the alternatives are penalized by genuinely invalid
+    * sequences (as a wrong codec on true GB bytes is), and kana give
+    * Shift_JIS the edge on real Japanese that GB would otherwise absorb.
+    * Single-byte codecs are weighted by high-byte density: Cyrillic text is
+    * mostly high bytes, accented Latin text mostly ASCII. */
+  private[parse] def detectByFrequency(content: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val sample = if (content.length > 15000) java.util.Arrays.copyOf(content, 15000) else content
+    var nHigh = 0
+    var nPrint = 0
+    sample.foreach { b =>
+      if ((b & 0x80) != 0) nHigh += 1
+      if ((b & 0xff) > 0x20) nPrint += 1
+    }
+    if (nHigh == 0) return None
+    val highRatio = nHigh.toDouble / math.max(1, nPrint)
+    def inCjk(c: Char): Boolean =
+      (c >= 0x4e00 && c <= 0x9fff) || (c >= 0x3040 && c <= 0x30ff) ||
+        (c >= 0xac00 && c <= 0xd7af) || (c >= 0x3000 && c <= 0x303f) ||
+        (c >= 0xff00 && c <= 0xffef)
+    def score(name: String, ok: Char => Boolean, bonus: Char => Boolean,
+        weight: Double): (String, Double) = {
+      val cs = java.nio.charset.Charset.forName(name)
+      val s = lossyDecode(sample, cs)
+      var good = 0.0
+      var bad = 0.0
+      s.foreach { c =>
+        if (c == '\ufffd') bad += 3
+        else if (c >= 0x80) { if (ok(c)) good += (if (bonus(c)) 2.0 else 1.0) else bad += 1 }
+      }
+      (name, if (good + bad == 0) 0.0 else weight * good / (good + bad))
+    }
+    val none = (_: Char) => false
+    val scored = Seq(
+      score("Shift_JIS", inCjk, c => c >= 0x3040 && c <= 0x30ff, 1.0),
+      score("EUC-KR", inCjk, none, 1.0),
+      score("GB18030", inCjk, none, 0.85),
+      score("windows-1251", c => c >= 0x400 && c <= 0x4ff, none,
+        if (highRatio >= 0.25) 1.0 else 0.5),
+      score("windows-1252",
+        c => Character.isLetter(c) || c == 0xa0 || (c >= 0x2010 && c <= 0x2030), none,
+        if (highRatio < 0.25) 1.0 else 0.5))
+    val (bestName, bestScore) = scored.maxBy(_._2)
+    if (bestScore >= 0.7) Some(java.nio.charset.Charset.forName(bestName)) else None
+  }
+
 
   // ----------------------------------------------------------------- builder
 

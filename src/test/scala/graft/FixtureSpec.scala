@@ -65,4 +65,37 @@ class FixtureSpec extends AnyFunSuite {
     val r = Extraction.extract(html, null, Zero)
     assert(r != null && r.nonEmpty)
   }
+
+  test("charset cascade: declared gb2312 after bogus utf-8 declarations") {
+    val body = "<html><head><script charset=\"utf-8\"></script>" +
+      "<meta http-equiv=\"Content-Type\" content=\"text/html; charset=gb2312\"/>" +
+      "</head><body><p>河北农业大学的毕业生信守十五年的约定。</p></body></html>"
+    val bytes = body.getBytes(java.nio.charset.Charset.forName("GB2312"))
+    val decoded = HtmlParser.decodeFile(bytes)
+    assert(decoded.contains("河北农业大学"), decoded.take(200))
+  }
+
+  test("charset fallback: cp1251 page without any declaration") {
+    val body = "<html><body><p>Это статья о русском языке и его истории. " +
+      "Москва является столицей России.</p></body></html>"
+    val bytes = body.getBytes(java.nio.charset.Charset.forName("windows-1251"))
+    val decoded = HtmlParser.decodeFile(bytes)
+    assert(decoded.contains("Москва"), decoded.take(200))
+  }
+
+  test("charset fallback: shift-jis page without any declaration") {
+    val body = "<html><body><p>日本語のページです。東京は日本の首都です。" +
+      "ひらがなとカタカナも含まれています。</p></body></html>"
+    val bytes = body.getBytes(java.nio.charset.Charset.forName("Shift_JIS"))
+    val decoded = HtmlParser.decodeFile(bytes)
+    assert(decoded.contains("東京"), decoded.take(200))
+  }
+
+  test("charset fallback: latin-1 page with sparse umlauts stays latin") {
+    val body = "<html><body><p>Die Künstlerin wohnt in München und fährt " +
+      "täglich über die Brücke zur Universität.</p></body></html>"
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val decoded = HtmlParser.decodeFile(bytes)
+    assert(decoded.contains("München"), decoded.take(200))
+  }
 }
