@@ -97,11 +97,13 @@ object ContentExtractor {
           while (resultBody.children.nonEmpty && Handlers.NotAtTheEnd.contains(resultBody.children.last.tag))
             resultBody.remove(resultBody.children.last)
           if (resultBody.children.length > 1) matched = true
+          KTrace.log(s"body rule <${found.tag} class=${found.get("class","")}> children=${resultBody.children.length} matched=$matched")
         }
       }
     }
     var tempText = stripPy(resultBody.itertext.mkString(" "))
     if (resultBody.children.isEmpty || tempText.length < options.config.minExtractedSize) {
+      KTrace.log(s"wild text recovery: children=${resultBody.children.length} len=${tempText.length}")
       val (rb, _) = recoverWildText(backupTree, resultBody, options, potentialTags)
       resultBody = rb
       tempText = stripPy(resultBody.itertext.mkString(" "))

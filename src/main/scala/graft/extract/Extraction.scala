@@ -55,12 +55,16 @@ object Extraction {
     else if (options.recall && rBody.descendants(Set("head")).isEmpty &&
       tempPostAlgo.descendants(Set("h2", "h3", "h4")).nonEmpty && lenAlgo > lenText) algoFlag = true
     else algoFlag = false
+    KTrace.log(s"compare: lenText=$lenText lenAlgo=$lenAlgo algoFlag=$algoFlag")
     if (algoFlag) { rBody = tempPostAlgo; rText = algoText; lenText = lenAlgo }
     // justext rescue (external.py:93-107)
     var jtResult = false
     val dirty = rBody.descendants(Selectors.sanitizedTags).nonEmpty
     if (dirty || lenText < minTargetLength) {
-      val (b2, t2, l2, ok) = Fallbacks.justextRescue(tree, options, lenText)
+      // the reference passes len_text=0 here (core.py:707): justext wins
+      // with ANY non-empty output, gated only by the 4x-shorter check below
+      val (b2, t2, l2, ok) = Fallbacks.justextRescue(tree, options, 0)
+      KTrace.log(s"justext: dirty=$dirty lenText=$lenText jtLen=$l2 ok=$ok take=${ok && !(lenText > 4 * l2)}")
       if (ok && !(lenText > 4 * l2)) { rBody = b2; rText = t2; lenText = l2; jtResult = true }
     }
     if (algoFlag && !jtResult) {
@@ -148,6 +152,7 @@ object Extraction {
         postbody = r._1; tempText = r._2; lenText = r._3
       }
       if (lenText < options.config.minExtractedSize) {
+        KTrace.log(s"baseline trigger: lenText=$lenText")
         val r = Baseline.baseline(treeBackup2)
         postbody = r._1; tempText = r._2; lenText = r._3
       }

@@ -32,96 +32,21 @@ object Justext {
 
   private val KillTags = Set("head", "script", "style", "iframe", "noscript", "embed")
 
-  /** Compact multilingual function-word union (en/de/fr/es/it/pt/nl/pl/cs/
-    * ru/tr/sv/da/fi + shared forms), lowercased. */
-  val Stopwords: Set[String] = Set(
-    // English
-    "the", "a", "an", "and", "or", "but", "if", "of", "to", "in", "on", "at",
-    "by", "for", "with", "about", "as", "is", "are", "was", "were", "be",
-    "been", "being", "it", "its", "this", "that", "these", "those", "he",
-    "she", "they", "we", "you", "i", "his", "her", "their", "our", "your",
-    "not", "no", "yes", "do", "does", "did", "have", "has", "had", "will",
-    "would", "can", "could", "should", "may", "might", "from", "up", "down",
-    "out", "over", "under", "again", "more", "most", "some", "any", "all",
-    "both", "each", "few", "other", "such", "only", "own", "same", "so",
-    "than", "too", "very", "just", "there", "here", "when", "where", "why",
-    "how", "what", "which", "who", "whom", "into", "through", "during",
-    "before", "after", "above", "below", "between", "while", "because",
-    // German
-    "der", "die", "das", "den", "dem", "des", "ein", "eine", "einen",
-    "einem", "einer", "eines", "und", "oder", "aber", "wenn", "von", "zu",
-    "im", "am", "um", "an", "auf", "mit", "für", "ist", "sind", "war",
-    "waren", "sein", "wird", "werden", "wurde", "wurden", "hat", "haben",
-    "hatte", "hatten", "kann", "können", "muss", "müssen", "soll", "nicht",
-    "kein", "keine", "auch", "noch", "schon", "nur", "sehr", "mehr", "als",
-    "wie", "bei", "nach", "vor", "über", "unter", "zwischen", "durch",
-    "gegen", "ohne", "bis", "seit", "aus", "er", "sie", "es", "wir", "ihr",
-    "ich", "du", "man", "sich", "dass", "weil", "denn", "doch", "dann",
-    "dieser", "diese", "dieses", "ihre", "seinem", "seiner", "ihrem",
-    // French
-    "le", "la", "les", "un", "une", "et", "ou", "mais", "si", "de", "du",
-    "au", "aux", "dans", "sur", "sous", "avec", "pour", "par", "est", "sont",
-    "était", "être", "sera", "ont", "avait", "avoir", "ne", "pas", "plus",
-    "moins", "très", "aussi", "comme", "que", "qui", "quoi", "dont", "où",
-    "il", "elle", "ils", "elles", "nous", "vous", "je", "tu", "on", "se",
-    "sa", "son", "ses", "leur", "leurs", "ce", "cette", "ces", "cela",
-    // Spanish
-    "el", "los", "las", "uno", "una", "unos", "unas", "y", "o", "pero",
-    "en", "con", "sin", "sobre", "entre", "hasta", "desde", "es", "son",
-    "era", "eran", "ser", "fue", "ha", "han", "había", "hay", "está",
-    "están", "lo", "al", "del", "se", "su", "sus", "este", "esta", "estos",
-    "estas", "ese", "esa", "esos", "esas", "él", "ella", "ellos", "ellas",
-    "nosotros", "yo", "tú", "usted", "también", "más", "menos", "muy",
-    "cuando", "donde", "porque", "aunque", "mientras", "según",
-    // Italian
-    "il", "gli", "uno", "ed", "od", "ma", "di", "da", "nel", "nella",
-    "con", "per", "tra", "fra", "è", "sono", "era", "erano", "essere",
-    "sarà", "hanno", "aveva", "avere", "non", "più", "meno", "molto",
-    "anche", "come", "che", "chi", "cui", "dove", "quando", "perché",
-    "questo", "questa", "questi", "queste", "quello", "quella", "loro",
-    // Portuguese
-    "os", "as", "um", "uma", "uns", "umas", "e", "ao", "às", "no", "na",
-    "nos", "nas", "pelo", "pela", "com", "sem", "sob", "são", "foi",
-    "foram", "tem", "têm", "tinha", "não", "mais", "menos", "muito",
-    "quando", "onde", "porque", "isso", "isto", "aquele", "aquela", "seu",
-    "sua", "seus", "suas", "ele", "eles", "nós", "você",
-    // Dutch
-    "de", "het", "een", "van", "voor", "met", "op", "aan", "bij", "uit",
-    "naar", "door", "onder", "tussen", "is", "zijn", "was", "waren",
-    "wordt", "werd", "heeft", "hebben", "had", "hadden", "kan", "kunnen",
-    "moet", "moeten", "niet", "geen", "ook", "nog", "al", "maar", "of",
-    "dan", "dat", "dit", "deze", "die", "hij", "zij", "wij", "jullie",
-    "ik", "je", "ze", "we", "hun", "haar", "zich", "om", "te", "er",
-    // Polish
-    "i", "w", "z", "na", "do", "od", "po", "za", "przez", "przy", "dla",
-    "jest", "są", "był", "była", "było", "były", "być", "będzie", "ma",
-    "mają", "miał", "nie", "tak", "też", "także", "tylko", "bardzo",
-    "jak", "co", "kto", "gdzie", "kiedy", "dlaczego", "ponieważ", "że",
-    "ten", "ta", "to", "te", "tego", "tej", "tym", "się", "jego", "jej",
-    "ich", "nas", "was", "oraz", "ale", "lub", "albo", "czy", "już",
-    "więc", "można", "który", "która", "które", "których",
-    // Czech
-    "v", "s", "k", "o", "u", "je", "jsou", "byl", "byla", "bylo", "byly",
-    "být", "bude", "má", "mají", "měl", "ne", "ano", "ještě", "jen",
-    "velmi", "jako", "kde", "kdy", "proč", "protože", "aby", "když",
-    "tento", "tato", "toto", "jeho", "její", "jejich", "nebo", "ani",
-    // Russian (Cyrillic)
-    "и", "в", "на", "с", "по", "к", "у", "от", "до", "за", "из", "о",
-    "об", "при", "для", "это", "этот", "эта", "эти", "тот", "та", "то",
-    "те", "он", "она", "оно", "они", "мы", "вы", "я", "ты", "его", "её",
-    "их", "наш", "ваш", "не", "нет", "да", "есть", "был", "была", "было",
-    "были", "быть", "будет", "как", "что", "кто", "где", "когда",
-    "почему", "потому", "если", "чтобы", "или", "но", "а", "же", "бы",
-    "только", "очень", "уже", "ещё", "еще", "все", "всё", "так", "там",
-    // Turkish
-    "ve", "veya", "ama", "için", "ile", "bir", "bu", "şu", "o", "ben",
-    "sen", "biz", "siz", "onlar", "değil", "var", "yok", "gibi", "kadar",
-    "sonra", "önce", "çok", "daha", "en", "de", "da", "ki", "mi", "ne",
-    // Scandinavian / Finnish
-    "och", "att", "som", "på", "av", "är", "var", "han", "hon", "hade",
-    "inte", "med", "till", "från", "men", "ett", "den", "det", "har",
-    "og", "at", "som", "på", "af", "er", "til", "ikke", "jeg", "vi",
-    "ja", "on", "ei", "että", "oli", "hän", "se", "ne", "mutta", "kun")
+  /** Full multilingual jusText stopword union (the corpus-derived public
+    * jusText wordlists, all languages combined — the same data the reference
+    * loads via external.py:49-58; shipped as a gzip word-list resource).
+    * Loaded once per JVM; ~154k lowercase words. */
+  lazy val Stopwords: Set[String] = {
+    val in = getClass.getResourceAsStream("/graft/jt_stopwords.txt.gz")
+    if (in == null) sys.error("jt_stopwords.txt.gz resource missing")
+    val rd = new java.io.BufferedReader(new java.io.InputStreamReader(
+      new java.util.zip.GZIPInputStream(in), java.nio.charset.StandardCharsets.UTF_8))
+    val b = Set.newBuilder[String]
+    var line = rd.readLine()
+    while (line != null) { if (line.nonEmpty) b += line; line = rd.readLine() }
+    rd.close()
+    b.result()
+  }
 
   /** Build paragraphs from a (already parsed, uncleaned) DOM tree —
     * equivalent of preprocessor + ParagraphMaker. */

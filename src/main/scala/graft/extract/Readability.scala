@@ -169,6 +169,18 @@ final class Readability(var doc: Node, minTextLength: Int = 25, retryLength: Int
     output
   }
 
+  /** Debug: one ruthless scoring pass, print top candidates. */
+  def debugDump(): Unit = {
+    tags(doc, "script", "style").foreach(i => if (i.parent != null) Dom.dropTree(i))
+    removeUnlikelyCandidates()
+    transformMisusedDivs()
+    val (candidates, ordered) = scoreParagraphs()
+    println(s"DBG candidates=${ordered.length}")
+    ordered.map(candidates.get).sortBy(c => -c.score).take(8).foreach { c =>
+      println(f"DBG  cand <${c.elem.tag} class=${c.elem.get("class","")} id=${c.elem.get("id","")}> score=${c.score}%.1f textLen=${textLength(c.elem)}")
+    }
+  }
+
   /** summary() (readability_lxml.py:133-173): returns the cleaned article
     * tree (the reference serializes + reparses; clean_attributes is a no-op). */
   def summary(): Node = {

@@ -87,3 +87,10 @@ object Kernel {
     options.dedupCache.isDuplicate(testString, options.config)
   }
 }
+
+/** Env-gated kernel decision trace (GRAFT_TRACE=1): rule choices, length
+  * comparisons, arbiter outcomes — debug only, zero cost when off. */
+object KTrace {
+  val on: Boolean = sys.env.contains("GRAFT_TRACE")
+  @inline def log(msg: => String): Unit = if (on) System.err.println("KTRACE " + msg)
+}

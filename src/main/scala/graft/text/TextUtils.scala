@@ -50,14 +50,28 @@ object TextUtils {
     }
   }
 
+  /** Python str.isprintable() over a full code point — Python iterates code
+    * points, so astral chars (emoji, category So) are printable; a per-Char
+    * walk would misclassify their surrogate halves as non-printable. */
+  def isPyPrintableCp(cp: Int): Boolean = {
+    if (cp == ' ') return true
+    Character.getType(cp) match {
+      case Character.CONTROL | Character.FORMAT | Character.SURROGATE |
+          Character.PRIVATE_USE | Character.UNASSIGNED | Character.LINE_SEPARATOR |
+          Character.PARAGRAPH_SEPARATOR | Character.SPACE_SEPARATOR => false
+      case _ => true
+    }
+  }
+
   /** `remove_control_characters` (utils.py:243-251): keep printable or space. */
   def removeControlCharacters(s: String): String = {
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     while (i < s.length) {
-      val c = s.charAt(i)
-      if (isPyPrintable(c) || isPyWhitespace(c)) sb.append(c)
-      i += 1
+      val cp = s.codePointAt(i)
+      val n = Character.charCount(cp)
+      if (isPyPrintableCp(cp) || (n == 1 && isPyWhitespace(s.charAt(i)))) sb.appendCodePoint(cp)
+      i += n
     }
     sb.toString
   }
