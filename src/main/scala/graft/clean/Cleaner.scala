@@ -111,6 +111,7 @@ object Cleaner {
     }
     if (!withBackup) return tree
     val newLen = tree.textContent.length
+    graft.extract.KTrace.log(s"pruneUnwanted rollback check: old=$oldLen new=$newLen rollback=${newLen <= oldLen / 7.0}")
     if (newLen > oldLen / 7.0) tree else backup
   }
 

@@ -118,36 +118,51 @@ object ExtractPipeline {
     * extraction metrics. A restarted run skips committed buckets — the north
     * rule's per-partition checkpointed resume.
     *
-    * Scan economics: against a raw table each bucket filter re-scans the
-    * input; on the intended doc_id-hash-bucketed table layout (Iceberg
-    * bucket(doc_id) partitioning) the same predicate partition-prunes each
-    * pass to 1/buckets of the files, so total scan volume stays ~1x. */
+    * Scan economics: the raw input is staged ONCE as a bucket-partitioned
+    * parquet table (the emulated `bucket(doc_id)` Iceberg layout). Every
+    * bucket pass — including resume passes in a later process — reads only
+    * its own `_bucket=N` partition directory, so total input scan volume is
+    * 1x (the staging write) + 1/buckets per pass, never buckets× the raw
+    * table. Each manifest records the pruned path + files actually read. */
   def runWithCommitLog(spark: SparkSession, input: Dataset[DocRow],
       outDir: String, options: ExtractorOptions, buckets: Int = 8): Seq[String] = {
     import spark.implicits._
     val fs = new java.io.File(outDir)
     fs.mkdirs()
     new java.io.File(s"$outDir/_commits").mkdirs()
+    // stage once: bucket-partitioned table, skipped when already committed
+    val stagedDir = s"$outDir/_staged"
+    if (!new java.io.File(s"$stagedDir/_SUCCESS").exists()) {
+      input.withColumn("_bucket", pmod(hash(col("doc_id")), lit(buckets)))
+        .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
+    }
+    val rowSchema = org.apache.spark.sql.Encoders.product[DocRow].schema
     val written = scala.collection.mutable.ListBuffer.empty[String]
-    val bucketed = input.withColumn("_bucket", pmod(hash(col("doc_id")), lit(buckets)))
     (0 until buckets).foreach { b =>
       val manifest = new java.io.File(s"$outDir/_commits/bucket-$b.json")
       if (!manifest.exists()) {
         val t0 = System.nanoTime()
-        val part = bucketed.filter(col("_bucket") === b).drop("_bucket").as[DocRow]
+        // path-level partition pruning: only this bucket's files are read
+        val bucketPath = s"$stagedDir/_bucket=$b"
+        val part =
+          if (new java.io.File(bucketPath).exists())
+            spark.read.schema(rowSchema).parquet(bucketPath).as[DocRow]
+          else spark.emptyDataset[DocRow]
+        val scannedFiles = part.inputFiles.length
         val out = extractDocs(part, options)
         val target = s"$outDir/bucket-$b"
         out.write.mode("overwrite").parquet(target)
         // metrics read back from the committed files (cheap: parquet footers)
         val stats = spark.read.parquet(target)
-          .agg(count(lit(1)), sum(when(col("ok"), 1L).otherwise(0L)),
-            sum(size(col("spans"))), sum(col("kernel_us")))
+          .agg(count(lit(1)), coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),
+            coalesce(sum(size(col("spans"))), lit(0L)), coalesce(sum(col("kernel_us")), lit(0L)))
           .collect()(0)
         val durMs = (System.nanoTime() - t0) / 1000000
         val json =
           s"""{"bucket":$b,"docs":${stats.getLong(0)},"ok":${stats.getLong(1)},""" +
             s""""spans":${stats.getLong(2)},"kernel_us":${stats.getLong(3)},""" +
-            s""""wall_ms":$durMs,"input":"hash(doc_id) % $buckets == $b"}"""
+            s""""wall_ms":$durMs,"input":"hash(doc_id) % $buckets == $b",""" +
+            s""""scan_path":"$bucketPath","scanned_files":$scannedFiles}"""
         val tmp = new java.io.File(s"$outDir/_commits/.bucket-$b.json.tmp")
         java.nio.file.Files.writeString(tmp.toPath, json)
         tmp.renameTo(manifest) // atomic commit

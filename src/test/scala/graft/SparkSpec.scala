@@ -81,6 +81,11 @@ class SparkSpec extends AnyFunSuite {
     val m = ujsonLite(java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$dir/_commits/bucket-0.json")))
     assert(m.contains("\"docs\":") && m.contains("\"kernel_us\":") && m.contains("hash(doc_id)"))
+    // single-scan evidence: the staged bucket-partitioned table exists and
+    // each pass read only its own partition directory
+    assert(new java.io.File(s"$dir/_staged/_SUCCESS").exists())
+    assert(m.contains("\"scan_path\":") && m.contains("_bucket=0"))
+    assert(m.contains("\"scanned_files\":"))
   }
 
   private def ujsonLite(s: String): String = s
@@ -113,6 +118,20 @@ class SparkSpec extends AnyFunSuite {
       val n = spark.sql("SELECT count(*) FROM extract_stream WHERE ok").collect()(0).getLong(0)
       assert(n == docs.count())
     } finally q.stop()
+  }
+
+  test("multimodal: image rows decode with real ImageIO to the expected dims") {
+    import graft.spark.MultimodalOps
+    val rows = MultimodalOps.mediaTable(spark, sf)
+      .filter(_.media_kind == "image").take(10)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      // PNG magic: the blob is a real image payload, not repurposed text
+      assert((m.blob(0) & 0xff) == 0x89 && m.blob(1) == 'P'.toByte, m.doc_id)
+      val (w, h) = MultimodalOps.decodeImage(m.blob).get
+      assert(w == MultimodalOps.imgWidth(m.doc_id), s"doc ${m.doc_id} width")
+      assert(h == MultimodalOps.imgHeight(m.doc_id), s"doc ${m.doc_id} height")
+    }
   }
 
   test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
