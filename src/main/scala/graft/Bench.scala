@@ -56,6 +56,10 @@ object Bench {
 
     var spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // untimed warmup at sf0.001: plan codegen + broadcast init otherwise
+      // lands entirely on the alphabetically-first query (was 17s of the
+      // 0.9s-warm ann_cosine); the timed run below is steady-state
+      try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -26,9 +26,10 @@ case class Simhash64(child: Expression) extends UnaryExpression with CodegenFall
 object SqlSurface {
 
   def register(spark: SparkSession): Unit = {
-    // native expression
+    // native expressions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
+    registerVecDot(spark)
     // kernel as SQL functions (opaque per-row transforms -> UDFs)
     val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
     spark.udf.register("extract_text", (html: String) => {
@@ -44,4 +45,10 @@ object SqlSurface {
       if (d == null) null else d.meta.title
     })
   }
+
+  /** vec_dot only (idempotent) — the TextOps similarity operators call this
+    * so the codegen'd dot product resolves in any session. */
+  def registerVecDot(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "scala_udf")
 }

@@ -298,18 +298,25 @@ object TextOps {
   // ------------------------------------------------------------ ANN cosine
 
   /** L2-normalize the embedding once per row so every pairwise stage below
-    * is a dot product only (norms would otherwise be recomputed per PAIR). */
+    * is a dot product only (norms would otherwise be recomputed per PAIR).
+    * The norm itself goes through the native vec_dot: the aggregate() form
+    * is re-inlined PER ELEMENT by CollapseProject (64 interpreted norm
+    * evals per row). */
   private def unitVec(c: Column): Column = {
-    val n = sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val n = sqrt(call_function("vec_dot", c, c))
     transform(c, x => x.cast("double") / n)
   }
-  private def dotCol(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Pairwise dot via the codegen'd native expression (graft.functions.VecDot)
+    * — the interpreted aggregate(zip_with(...)) form was ~60% of the bench
+    * total on the 2M-pair near-dup join. Same element order and double
+    * accumulation, so results are bit-identical. */
+  private def dotCol(a: Column, b: Column): Column = call_function("vec_dot", a, b)
 
   /** Brute-force cosine top-k: broadcast the query set, one pass over the
     * corpus, per-query top-k via window. The IVF/LSH-bucketed variant keys
     * the same join on a coarse-quantizer bucket instead of a cross join. */
   def annCosineTopK(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5): DataFrame = {
+    SqlSurface.registerVecDot(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("u"))
     val queries = base.filter(col("vec_id") < nQueries)
       .select(col("vec_id").as("qid"), col("u").as("qu"))
@@ -336,6 +343,7 @@ object TextOps {
     * embeddingNearDupLsh below; this exact variant feeds the DuckDB oracle). */
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
       cap: Int = 2000): DataFrame = {
+    SqlSurface.registerVecDot(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("u"))
       .filter(col("vec_id") < cap)
     base.select(col("vec_id").as("a_id"), col("u").as("a_u"))
@@ -353,6 +361,7 @@ object TextOps {
     * rows + bucket-local pairs instead of the full cross product. */
   def embeddingNearDupLsh(embeddings: DataFrame, threshold: Double = 0.5,
       dim: Int = 64, k: Int = 4, tables: Int = 8): DataFrame = {
+    SqlSurface.registerVecDot(embeddings.sparkSession)
     val rnd = new java.util.Random(42) // fixed seed: deterministic plan
     val hyper = Array.fill(tables, k, dim)(rnd.nextGaussian())
     val base = embeddings.select(col("vec_id"), col("embedding"))
@@ -374,10 +383,8 @@ object TextOps {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
       .dropDuplicates("a_id", "b_id")
-    val dot = aggregate(zip_with(col("a_emb"), col("b_emb"), (a, b) =>
-      a.cast("double") * b.cast("double")), lit(0.0d), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val dot = call_function("vec_dot", col("a_emb"), col("b_emb"))
+    val norm = (c: Column) => sqrt(call_function("vec_dot", c, c))
     cand.select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
@@ -398,6 +405,7 @@ object TextOps {
     * argmax over cos(v, c_i) because ‖v‖ is a common positive factor. */
   def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    SqlSurface.registerVecDot(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val cents: Array[(Int, Array[Double])] = base.filter(col("vec_id") < nCells)
       .collect()
@@ -425,10 +433,8 @@ object TextOps {
       .select(col("vec_id").as("qid"), col("embedding"),
         explode(slice(probeStructs, 1, nProbe)).as("pr"))
       .select(col("qid"), col("embedding").as("qvec"), col("pr.cell_id").as("cell_id"))
-    val dot = (a: Column, b: Column) => aggregate(zip_with(a, b, (x, y) =>
-      x.cast("double") * y.cast("double")), lit(0.0d), (acc, x) => acc + x)
-    val norm = (c: Column) => sqrt(aggregate(c, lit(0.0d),
-      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val dot = (a: Column, b: Column) => call_function("vec_dot", a, b)
+    val norm = (c: Column) => sqrt(call_function("vec_dot", c, c))
     val cos = (a: Column, b: Column) => dot(a, b) / (norm(a) * norm(b))
     // rank candidates inside probed cells (the one genuine shuffle)
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
