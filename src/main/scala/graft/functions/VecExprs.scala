@@ -74,3 +74,52 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
   override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): VecDot =
     copy(left = newLeft, right = newRight)
 }
+
+/** 128-permutation MinHash signature of an int64 shingle set, computed in
+  * ONE map-side pass: `minhash128(array<long>) -> array<long>`.
+  *
+  * Equivalent to (and bit-identical with) the explode + 128 ×
+  * `min(xxhash64(s, lit(i)))` + groupBy(doc_id) formulation — Spark's
+  * multi-arg xxhash64 chains `hashLong(i, hashLong(s, 42))`, which is what
+  * this computes — but without materializing |shingles| rows × 128 hash
+  * columns through a shuffle: the signature stage becomes pure scan-side
+  * work, which is the shape that survives a 100 TB corpus (the only
+  * remaining shuffles in MinHash dedup are the band-bucket join and the
+  * candidate verify join).
+  */
+case class MinHash128(child: org.apache.spark.sql.catalyst.expressions.Expression,
+    perms: Int = 128)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash128"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"minhash128 expects array<long>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val mins = Array.fill(perms)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      // xxhash64(s, lit(i)) chains seed 42 -> hashLong(s) -> hashInt(i)
+      val inner = org.apache.spark.sql.catalyst.expressions.XXH64.hashLong(arr.getLong(j), 42L)
+      var i = 0
+      while (i < perms) {
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashInt(i, inner)
+        if (h < mins(i)) mins(i) = h
+        i += 1
+      }
+      j += 1
+    }
+    ArrayData.toArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinHash128 =
+    copy(child = newChild)
+}

@@ -29,7 +29,7 @@ object SqlSurface {
     // native expressions
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
-    registerVecDot(spark)
+    registerVecDot(spark) // vec_dot + minhash128
     // kernel as SQL functions (opaque per-row transforms -> UDFs)
     val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
     spark.udf.register("extract_text", (html: String) => {
@@ -46,9 +46,12 @@ object SqlSurface {
     })
   }
 
-  /** vec_dot only (idempotent) — the TextOps similarity operators call this
-    * so the codegen'd dot product resolves in any session. */
-  def registerVecDot(spark: SparkSession): Unit =
+  /** Native similarity/hashing expressions only (idempotent) — the TextOps
+    * operators call this so they resolve in any session. */
+  def registerVecDot(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash128", exprs => graft.functions.MinHash128(exprs.head), "scala_udf")
+  }
 }

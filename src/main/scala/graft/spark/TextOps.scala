@@ -195,26 +195,20 @@ object TextOps {
     * the exact oracle path. */
   def dedupMinhash(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = 0): DataFrame = {
+    SqlSurface.registerVecDot(docs.sparkSession)
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
-    // One doc_id shuffle produces BOTH the 128 signature mins and the exact
-    // shingle set for verification (collect_set in the same aggregate) — the
-    // scan+shingle work happens once; every downstream branch (bands, both
-    // candidate sides, both verify sides) hangs off this single table, so
-    // Spark's ReuseExchange serves them from the one shuffle write.
-    // Signatures via explode + 128 codegen'd min-aggregates of 8-byte longs:
-    // each shingle string is hashed once at the scan; the permutations hash
-    // longs, not strings. (A nested transform-over-transform would re-inline
-    // the shingle construction per permutation and eval interpreted.)
-    val exploded = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
-    val hashed = exploded.select(
-      col("doc_id") +: col("s") +: (0 until MinhashPerms).map(i => xxhash64(col("s"), lit(i)).as(s"h$i")): _*)
-    val sigs = hashed.groupBy(col("doc_id"))
-      .agg(collect_set(col("s")).as("shset"),
-        (0 until MinhashPerms).map(i => min(col(s"h$i")).as(s"m$i")): _*)
-      .select(col("doc_id"), col("shset"),
-        array((0 until MinhashPerms).map(i => col(s"m$i")): _*).as("mh"))
+    // Signatures are PURE MAP-SIDE work: `minhash128` (a native expression)
+    // computes all 128 permutation mins in one pass over the hashed shingle
+    // set — bit-identical to the explode + 128×min(xxhash64(s,i)) + groupBy
+    // form (equivalence is test-pinned) but with NO shuffle: at 100 TB the
+    // old shape shipped |corpus shingles| rows × 128 hash columns through an
+    // aggregation exchange. Persisted once; bands, both candidate sides and
+    // both verify sides all read this one small table.
+    val sigs = corpus
+      .select(col("doc_id"), col("sh").as("shset"),
+        call_function("minhash128", col("sh")).as("mh"))
       .persist()
     val allBands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),

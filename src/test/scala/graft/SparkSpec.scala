@@ -175,6 +175,24 @@ class SparkSpec extends AnyFunSuite {
     assert(old.join(neu, "doc_id").filter(col("o") =!= col("n")).count() == 0)
   }
 
+  test("minhash128 expression equals the explode + 128-min-agg formulation") {
+    import org.apache.spark.sql.functions._
+    graft.spark.SqlSurface.registerVecDot(spark)
+    val docs = graft.spark.DocsTables.documents(spark, sf)
+    val corpus = graft.spark.TextOps.nearDupCorpus(docs)
+      .select(col("doc_id"), graft.spark.TextOps.hashedShingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val native = corpus.select(col("doc_id"), call_function("minhash128", col("sh")).as("mh"))
+    val exploded = corpus.select(col("doc_id"), explode(col("sh")).as("s"))
+    val agg = exploded
+      .select(col("doc_id") +: (0 until 128).map(i => xxhash64(col("s"), lit(i)).as(s"h$i")): _*)
+      .groupBy(col("doc_id"))
+      .agg(min(col("h0")).as("m0"), (1 until 128).map(i => min(col(s"h$i")).as(s"m$i")): _*)
+      .select(col("doc_id"), array((0 until 128).map(i => col(s"m$i")): _*).as("mh2"))
+    val diff = native.join(agg, "doc_id").filter(col("mh") =!= col("mh2")).count()
+    assert(diff == 0, s"$diff signature mismatches")
+  }
+
   test("dedupMinhash bucketCap: bounded buckets yield a subset of exact output") {
     val docs = graft.spark.DocsTables.documents(spark, "/root/testdata/sf0.001")
     val full = graft.spark.TextOps.dedupMinhash(docs)
