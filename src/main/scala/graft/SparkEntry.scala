@@ -57,6 +57,22 @@ object SparkEntry {
     "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5)),
     // --- multimodal plumbing (binary blobs + typed metadata; stubbed codec)
     "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir)),
+    // --- windowed analytics: gap-based sessionization over the events table
+    "events_sessions" -> ((s, dir) =>
+      graft.spark.StreamOps.eventSessions(s.read.parquet(s"$dir/events.parquet"))),
+    // --- window functions: top-3 orders per market segment
+    "tpch_top_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      val w = Window.partitionBy(col("c_mktsegment"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment"), col("o_orderkey"), col("o_totalprice"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
+    }),
     // --- relational surface: 3-way join + agg over the TPC-H-ish tables
     // (nation broadcast, lineitem->orders->customer shuffle joins on keys)
     "tpch_revenue" -> ((s, dir) => {
@@ -87,6 +103,14 @@ object SparkEntry {
     "simhash_fp" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
+    "events_sessions" -> graft.spark.StreamOps.eventSessionsOracle,
+    "tpch_top_orders" ->
+      """SELECT c_mktsegment, rnk, o_orderkey FROM (
+        | SELECT c_mktsegment, o_orderkey,
+        |   row_number() OVER (PARTITION BY c_mktsegment
+        |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        | FROM orders JOIN customer ON o_custkey = c_custkey
+        |) WHERE rnk <= 3""".stripMargin,
     "tpch_revenue" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,

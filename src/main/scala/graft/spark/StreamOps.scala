@@ -26,4 +26,93 @@ object StreamOps {
   /** Batch equivalent for oracle/inspection parity. */
   def windowedEventStatsBatch(spark: SparkSession, sfDir: String): DataFrame =
     windowedEventStats(spark.read.parquet(s"$sfDir/events.parquet"))
+
+  // --------------------------------------------------------- sessionization
+
+  val SessionGapSec: Long = 1800 // 30 min inactivity closes a session
+
+  /** Gap-based sessionization as a BATCH window query (lag + running sum of
+    * session starts), SQL-expressible so DuckDB can verify it cell-exact.
+    * Output: one row per (user, session) with event count, exact value sum
+    * and epoch-second session bounds. */
+  def eventSessions(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+    events
+      // parquet carries TIMESTAMP_NTZ; epoch math needs LTZ (session tz = UTC)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts").cast("long") - col("prev_ts").cast("long") > SessionGapSec, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        // decimal sum: exact + order-independent, bit-identical to DuckDB
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("value_sum"),
+        min(col("ts").cast("long")).as("start_s"),
+        max(col("ts").cast("long")).as("end_s"))
+  }
+
+  def eventSessionsOracle: String =
+    s"""WITH marked AS (
+       |  SELECT user_id, event_id, ts, value,
+       |    CASE WHEN lag(ts) OVER w IS NULL
+       |           OR floor(epoch(ts)) - floor(epoch(lag(ts) OVER w)) > $SessionGapSec
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM events
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+       |), sessions AS (
+       |  SELECT user_id, ts, value,
+       |    SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+       |  FROM marked
+       |)
+       |SELECT user_id, CAST(session_id AS BIGINT) AS session_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS value_sum,
+       |  CAST(floor(min(epoch(ts))) AS BIGINT) AS start_s,
+       |  CAST(floor(max(epoch(ts))) AS BIGINT) AS end_s
+       |FROM sessions GROUP BY user_id, session_id""".stripMargin
+
+  /** Streaming gap-session operator: `KeyValueGroupedDataset
+    * .flatMapGroupsWithState` with per-user open-session state. A session is
+    * EMITTED when a later event for the same user arrives past the gap
+    * (closing it); the per-user trailing session stays open in state.
+    * Batch parity (SparkSpec): streamed sessions == batch sessions minus
+    * each user's last. At scale, state is one small record per active user,
+    * keyed-partitioned by Spark's state store. */
+  final case class SessionState(startS: Long, endS: Long, n: Long, sum: BigDecimal)
+  final case class SessionOut(user_id: Long, n_events: Long, value_sum: Double,
+      start_s: Long, end_s: Long)
+
+  def streamingSessions(events: DataFrame): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val typed = events
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .select(col("user_id").cast("long"), col("event_id").cast("long"),
+        col("ts").cast("long").as("ts_s"), col("value").cast("string"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (user, rows, state: GroupState[SessionState]) =>
+          // event-time order within the micro-batch (bounded replay => all rows)
+          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
+          val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
+          var cur = state.getOption.orNull
+          sorted.foreach { case (_, _, tsS, valueStr) =>
+            val v = BigDecimal(valueStr).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            if (cur == null) cur = SessionState(tsS, tsS, 1, v)
+            else if (tsS - cur.endS > SessionGapSec) {
+              out += SessionOut(user, cur.n, cur.sum.toDouble, cur.startS, cur.endS)
+              cur = SessionState(tsS, tsS, 1, v)
+            } else cur = SessionState(cur.startS, tsS, cur.n + 1, cur.sum + v)
+          }
+          if (cur != null) state.update(cur)
+          out.iterator
+      }
+  }
 }

@@ -236,6 +236,34 @@ class SparkSpec extends AnyFunSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("stateful streaming sessionization: parity with the batch window query") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
+    val events = spark.read.parquet(s"$sf/events.parquet")
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = graft.spark.StreamOps.streamingSessions(stream)
+      .writeStream.format("memory").queryName("sessions_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql(
+        "SELECT user_id, n_events, value_sum, start_s, end_s FROM sessions_stream")
+        .collect().map(_.toSeq).toSet
+      // batch sessions minus each user's LAST (still open in streaming state)
+      val batch = graft.spark.StreamOps.eventSessions(events)
+      val lastPerUser = batch.groupBy(col("user_id"))
+        .agg(max(col("session_id")).as("session_id"))
+      val closed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
+        .select(col("user_id"), col("n_events"), col("value_sum"), col("start_s"), col("end_s"))
+        .collect().map(_.toSeq).toSet
+      assert(streamed == closed,
+        s"streamed=${streamed.size} closed-batch=${closed.size}; " +
+          s"onlyStream=${(streamed -- closed).take(2)} onlyBatch=${(closed -- streamed).take(2)}")
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
