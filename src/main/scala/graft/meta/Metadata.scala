@@ -498,9 +498,15 @@ object Metadata {
   }
 
   /** extract_metadata (metadata.py:475-575). */
-  def extractMetadata(tree: Node, defaultUrl: String = null, fastmode: Boolean = false,
+  def extractMetadata(treeIn: Node, defaultUrl: String = null, fastmode: Boolean = false,
       authorBlacklist: Set[String] = Set.empty): DocMeta = {
-    if (tree == null) return DocMeta()
+    if (treeIn == null) return DocMeta()
+    // lxml elements carry their document: the reference's metadata xpaths are
+    // absolute ('//…', metaxpaths.py) or head-anchored, so they escape a
+    // fragment element (fromstring's body-div) to the whole parse tree via
+    // getroottree(). Ascend to the document root to reproduce that.
+    var tree = treeIn
+    while (tree.parent != null) tree = tree.parent
     var m = examineMeta(tree)
     if (m.author != null && !m.author.contains(" ")) m = m.copy(author = null)
     // JSON-LD overrides (metadata.py:500-505)

@@ -47,8 +47,20 @@ object HtmlParser {
       (body.text == null || body.text.forall(TextUtils.isPyWhitespace)) &&
       (body.children.last.tail == null || body.children.last.tail.forall(TextUtils.isPyWhitespace)))
       return body.children.head
+    // multi-element / text-leading fragment: lxml's fromstring returns the
+    // BODY retagged div (block content) or span, still attached to the
+    // document root — metadata's absolute xpaths escape to the root via
+    // parent links (Metadata ascends), exactly like lxml getroottree().
+    body.tag = if (body.iterDescendantsLazy(BlockLevelTags).hasNext) "div" else "span"
     body
   }
+
+  /** lxml.html.defs block-level subset used by fromstring's fragment wrap. */
+  private val BlockLevelTags = Set(
+    "address", "article", "aside", "blockquote", "center", "del", "dir", "div",
+    "dl", "fieldset", "figure", "footer", "form", "h1", "h2", "h3", "h4", "h5",
+    "h6", "header", "hr", "ins", "isindex", "main", "menu", "nav", "noscript",
+    "ol", "p", "pre", "section", "table", "ul")
 
   /** `load_html` (utils.py:184-224): decode/repair, parse, reject non-HTML. */
   def loadHtml(htmlInput: String): Node = {
