@@ -125,7 +125,8 @@ object ExtractPipeline {
     * 1x (the staging write) + 1/buckets per pass, never buckets× the raw
     * table. Each manifest records the pruned path + files actually read. */
   def runWithCommitLog(spark: SparkSession, input: Dataset[DocRow],
-      outDir: String, options: ExtractorOptions, buckets: Int = 8): Seq[String] = {
+      outDir: String, options: ExtractorOptions, buckets: Int = 8,
+      skewThresholdBytes: Int = 0): Seq[String] = {
     import spark.implicits._
     val fs = new java.io.File(outDir)
     fs.mkdirs()
@@ -149,7 +150,9 @@ object ExtractPipeline {
             spark.read.schema(rowSchema).parquet(bucketPath).as[DocRow]
           else spark.emptyDataset[DocRow]
         val scannedFiles = part.inputFiles.length
-        val out = extractDocs(part, options)
+        val out =
+          if (skewThresholdBytes > 0) extractDocsSkewAware(part, options, skewThresholdBytes)
+          else extractDocs(part, options)
         val target = s"$outDir/bucket-$b"
         out.write.mode("overwrite").parquet(target)
         // metrics read back from the committed files (cheap: parquet footers)
