@@ -104,7 +104,8 @@ object StreamOps {
           val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
           var cur = state.getOption.orNull
           sorted.foreach { case (_, _, tsS, valueStr) =>
-            val v = BigDecimal(valueStr).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+            val v = (if (valueStr == null) BigDecimal(0) else BigDecimal(valueStr))
+              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
             if (cur == null) cur = SessionState(tsS, tsS, 1, v)
             else if (tsS - cur.endS > SessionGapSec) {
               out += SessionOut(user, cur.n, cur.sum.toDouble, cur.startS, cur.endS)
