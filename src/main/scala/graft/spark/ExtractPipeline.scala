@@ -131,11 +131,19 @@ object ExtractPipeline {
     val fs = new java.io.File(outDir)
     fs.mkdirs()
     new java.io.File(s"$outDir/_commits").mkdirs()
-    // stage once: bucket-partitioned table, skipped when already committed
+    // stage once: bucket-partitioned table, skipped when already committed.
+    // The bucket count is part of the layout: a resume with a different
+    // `buckets` against the same outDir must fail loudly, not mis-bucket.
     val stagedDir = s"$outDir/_staged"
+    val bucketsMarker = java.nio.file.Paths.get(s"$outDir/_commits/_buckets")
     if (!new java.io.File(s"$stagedDir/_SUCCESS").exists()) {
       input.withColumn("_bucket", pmod(hash(col("doc_id")), lit(buckets)))
         .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
+      java.nio.file.Files.writeString(bucketsMarker, buckets.toString)
+    } else {
+      val staged = java.nio.file.Files.readString(bucketsMarker).trim.toInt
+      require(staged == buckets,
+        s"commit log at $outDir was staged with buckets=$staged, got buckets=$buckets")
     }
     val rowSchema = org.apache.spark.sql.Encoders.product[DocRow].schema
     val written = scala.collection.mutable.ListBuffer.empty[String]
