@@ -1,0 +1,35 @@
+package graft.tools
+import graft.extract.{ExtractorOptions, TrafConfig}
+import graft.spark.{DocsTables, ExtractPipeline}
+import org.apache.spark.sql.SparkSession
+/** Single-level extraction throughput probe, designed to be run under
+  * `taskset -c 0-(N-1)` so GC/JIT/OS threads are confined to the same N
+  * cores as the Spark workers — the honest N-core-cluster emulation
+  * (in-JVM local[N] on a 32-core host lets the idle cores assist GC,
+  * inflating small-N throughput and understating scaling efficiency).
+  * Prints one line: LEVEL cpus=<n> docs=<n> sec=<s> tput=<d/s>. */
+object ScaleLevel {
+  def main(args: Array[String]): Unit = {
+    val cpus = args(0).toInt
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "80").toInt
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
+    val docs = DocsTables.docsTableScaled(spark, sfDir, factor)
+      .repartition(cpus * 4, org.apache.spark.sql.functions.col("doc_id")).persist()
+    docs.count()
+    ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count() // warmup
+    val runs = (1 to 2).map { _ =>
+      val t0 = System.nanoTime()
+      val n = ExtractPipeline.extractDocs(docs, opts).filter(_.ok).count()
+      (n, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n, t) = runs.minBy(_._2)
+    println(f"LEVEL cpus=$cpus docs=$n sec=$t%.3f tput=${n / t}%.1f")
+    spark.stop()
+  }
+}
