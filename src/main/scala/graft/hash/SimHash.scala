@@ -34,11 +34,36 @@ object SimHash {
     h
   }
 
+  /** Token-hash memo mirroring the reference's lru_cache(2**14) on
+    * `Simhash._vector_to_add` (hashing.py:76, see SURVEY §4.1): natural-
+    * language tokens repeat heavily, so the per-token blake2b (the dominant
+    * kernel fingerprint cost, ~35 µs/doc) amortizes to a map lookup.
+    * Thread-local: task-scoped like the reference's per-process cache,
+    * no contention. */
+  private val tokenMemo = new ThreadLocal[java.util.LinkedHashMap[String, java.lang.Long]] {
+    override def initialValue() =
+      new java.util.LinkedHashMap[String, java.lang.Long](16384, 0.75f, true) {
+        override def removeEldestEntry(
+            e: java.util.Map.Entry[String, java.lang.Long]): Boolean = size() > 16384
+      }
+  }
+
+  private def tokenHashMemo(token: String): Long = {
+    val m = tokenMemo.get()
+    val cached = m.get(token)
+    if (cached != null) cached.longValue()
+    else {
+      val h = tokenHash(token)
+      m.put(token, java.lang.Long.valueOf(h))
+      h
+    }
+  }
+
   /** create_hash (hashing.py:82-93): 64-bit Charikar simhash. */
   def createHash(input: String): Long = {
     val vector = new Array[Int](64)
     sampleTokens(input).foreach { token =>
-      val th = tokenHash(token)
+      val th = tokenHashMemo(token)
       var i = 0
       while (i < 64) {
         if ((th & (1L << i)) != 0) vector(i) += 1 else vector(i) -= 1

@@ -21,6 +21,10 @@ object Profile {
     val tree = HtmlParser.loadHtml(html)
     time("metadata") { Metadata.extractMetadata(tree.deepCopy, null) }
     time("clean+conv") { Cleaner.convertTags(Cleaner.treeCleaning(tree.deepCopy, opts), opts, null) }
+    time("deepCopy") { tree.deepCopy }
+    // metadata sub-phases on a fresh copy each (copy cost ~constant)
+    time("meta:examine") { graft.meta.Metadata.examineMeta(tree) }
+    time("fingerprint") { graft.hash.SimHash.contentFingerprint("Doc 42 " + text) }
     time("full") { Extraction.extractDoc(html, null, "x", opts) }
   }
 }
