@@ -10,6 +10,16 @@ import scala.collection.mutable
 
 /** Tree cleaning + tag-vocabulary conversion (htmlprocessing.py:61-307). */
 object Cleaner {
+  private val TagFigure = Set("figure")
+  private val TagTable = Set("table")
+  private val TagRef = Set("ref")
+  private val ContainersT = Set("div", "ul", "table")
+  private val Containers = Set("div", "ul")
+  private val TagARef = Set("a", "ref")
+  private val TagListItems = Set("dd", "dt", "li")
+  private val TagSummary = Set("summary")
+  private val TagImg = Set("img")
+  private val TagA = Set("a")
 
   /** MANUALLY_CLEANED (settings.py:54-65) — order preserved (deterministic). */
   val ManuallyCleared: List[String] = List(
@@ -41,32 +51,45 @@ object Cleaner {
   val RendTags: Set[String] = RendTagMapping.map(_._1).toSet
   private val RendMap: Map[String, String] = RendTagMapping.toMap
 
+  /** Cleaning configuration derived from (tables, images) — only 4 variants,
+    * precomputed once per JVM: rebuilding the ~53-entry lists and their Set
+    * per document (×2 killPass calls) was measurable GC traffic (AllocProf). */
+  private final case class CleanCfg(cleaningList: List[String], cleanSet: Set[String],
+      stripSet: Set[String])
+  private val cleanCfgs: Map[(Boolean, Boolean), CleanCfg] = {
+    (for (tables <- Seq(true, false); images <- Seq(true, false)) yield {
+      var cleaningList = ManuallyCleared
+      var strippingList = ManuallyStripped
+      if (!tables) cleaningList = cleaningList ++ List("table", "td", "th", "tr")
+      if (images) {
+        cleaningList = cleaningList.filterNot(e => e == "figure" || e == "picture" || e == "source")
+        strippingList = strippingList.filterNot(_ == "img")
+      }
+      (tables, images) -> CleanCfg(cleaningList, cleaningList.toSet, strippingList.toSet)
+    }).toMap
+  }
+
   /** tree_cleaning (htmlprocessing.py:61-86). */
   def treeCleaning(tree: Node, options: ExtractorOptions): Node = {
-    var cleaningList = ManuallyCleared
-    var strippingList = ManuallyStripped
-    if (!options.tables) cleaningList = cleaningList ++ List("table", "td", "th", "tr")
-    else {
+    val cfg = cleanCfgs((options.tables, options.images))
+    if (options.tables) {
       // figure containing a table -> div (issue #301)
-      tree.descendants(Set("figure")).foreach { f =>
-        if (f.iterDescendantsLazy(Set("table")).hasNext) f.tag = "div"
+      tree.descendants(TagFigure).foreach { f =>
+        if (f.iterDescendantsLazy(TagTable).hasNext) f.tag = "div"
       }
-    }
-    if (options.images) {
-      cleaningList = cleaningList.filterNot(e => e == "figure" || e == "picture" || e == "source")
-      strippingList = strippingList.filterNot(_ == "img")
     }
     // delete targeted elements (tail-preserving drop_tree) — one walk
     // bucketing nodes per tag, processed in MANUALLY_CLEANED order
     // (equivalent to one walk per tag, without the ~50 full-tree scans)
     def killPass(root: graft.dom.Node): Unit = {
-      val byTag = mutable.HashMap.empty[String, mutable.ListBuffer[graft.dom.Node]]
-      val cleanSet = cleaningList.toSet
-      root.iterList(null).foreach { n =>
-        if ((n ne root) && cleanSet.contains(n.tag))
+      var byTag: mutable.HashMap[String, mutable.ListBuffer[graft.dom.Node]] = null
+      root.foreachNode { n =>
+        if ((n ne root) && cfg.cleanSet.contains(n.tag)) {
+          if (byTag == null) byTag = mutable.HashMap.empty
           byTag.getOrElseUpdate(n.tag, mutable.ListBuffer.empty) += n
+        }
       }
-      cleaningList.foreach { t =>
+      if (byTag != null) cfg.cleaningList.foreach { t =>
         byTag.get(t).foreach(_.foreach { el =>
           if (el.attachedTo(root)) Dom.dropTree(el)
         })
@@ -76,16 +99,24 @@ object Cleaner {
     // HTML_CLEANER equivalent: kill cleaning_list (again), strip stripping_list
     val pruned = pruneHtml(tree)
     killPass(pruned)
-    Dom.stripTags(pruned, strippingList: _*)
+    Dom.stripTagsSet(pruned, cfg.stripSet)
     pruned
   }
 
   /** prune_html (htmlprocessing.py:89-97): delete selected empty elements. */
   def pruneHtml(tree: Node): Node = {
-    // descendant-with-no-child-nodes test: no child elements and no text
-    val empties = tree.descendants(null).filter(n => n.children.isEmpty && (n.text == null || n.text.isEmpty))
-    empties.foreach { el =>
-      if (CutEmptyElems.contains(el.tag) && el.parent != null) Dom.dropTree(el)
+    // descendant-with-no-child-nodes test: no child elements and no text,
+    // collected in one zero-alloc walk (collect-then-mutate)
+    var empties: mutable.ListBuffer[Node] = null
+    tree.foreachNode { n =>
+      if ((n ne tree) && n.children.isEmpty && (n.text == null || n.text.isEmpty) &&
+        CutEmptyElems.contains(n.tag)) {
+        if (empties == null) empties = mutable.ListBuffer.empty
+        empties += n
+      }
+    }
+    if (empties != null) empties.foreach { el =>
+      if (el.parent != null) Dom.dropTree(el)
     }
     tree
   }
@@ -95,7 +126,7 @@ object Cleaner {
   def pruneUnwantedNodes(treeIn: Node, rules: Seq[Rule], withBackup: Boolean = false): Node = {
     val tree = treeIn
     val (oldLen, backup) =
-      if (withBackup) (tree.textContent.length, tree.deepCopy) else (0, null)
+      if (withBackup) (tree.textContentLength, tree.deepCopy) else (0, null)
     rules.foreach { rule =>
       Selectors.findAll(tree, rule).foreach { subtree =>
         if (subtree.tail != null) {
@@ -110,7 +141,7 @@ object Cleaner {
       }
     }
     if (!withBackup) return tree
-    val newLen = tree.textContent.length
+    val newLen = tree.textContentLength
     graft.extract.KTrace.log(s"pruneUnwanted rollback check: old=$oldLen new=$newLen rollback=${newLen <= oldLen / 7.0}")
     if (newLen > oldLen / 7.0) tree else backup
   }
@@ -130,9 +161,11 @@ object Cleaner {
     (mylist.map(_.length).sum, mylist.length, shortelems, mylist.toList)
   }
 
-  /** link_density_test (htmlprocessing.py:147-179). */
-  def linkDensityTest(element: Node, text: String, favorPrecision: Boolean): (Boolean, List[String]) = {
-    val links = element.descendants(Set("ref"))
+  /** link_density_test (htmlprocessing.py:147-179). The element text enters
+    * only via its length, so callers pass trimmedTextLength (zero alloc)
+    * instead of building the trimmed string. */
+  def linkDensityTest(element: Node, elemlen: Int, favorPrecision: Boolean): (Boolean, List[String]) = {
+    val links = element.descendants(TagRef)
     if (links.nonEmpty) {
       val (limitlen, threshold) =
         if (element.tag == "p") {
@@ -141,7 +174,6 @@ object Cleaner {
         } else {
           if (element.getnext == null) (300, 0.8) else (100, 0.8)
         }
-      val elemlen = text.length
       if (elemlen < limitlen) {
         val (linklen, elemnum, shortelems, mylist) = collectLinkInfo(links, favorPrecision)
         if (elemnum == 0) return (true, mylist)
@@ -155,9 +187,9 @@ object Cleaner {
 
   /** link_density_test_tables (htmlprocessing.py:182-199). */
   def linkDensityTestTables(element: Node): Boolean = {
-    val links = element.descendants(Set("ref"))
+    val links = element.descendants(TagRef)
     if (links.nonEmpty) {
-      val elemlen = Option(TextUtils.trim(element.textContent)).map(_.length).getOrElse(0)
+      val elemlen = element.trimmedTextLength
       if (elemlen > 250) {
         val (linklen, elemnum, _, _) = collectLinkInfo(links)
         if (elemnum == 0) return true
@@ -174,11 +206,14 @@ object Cleaner {
     val myelems = mutable.LinkedHashMap.empty[String, mutable.ListBuffer[Node]]
     val deletions = mutable.ListBuffer.empty[Node]
     subtree.iterLazy(Set(tagname)).foreach { elem =>
-      val elemtext = Option(TextUtils.trim(elem.textContent)).getOrElse("")
-      val (result, templist) = linkDensityTest(elem, elemtext, favorPrecision)
+      val elemLen = elem.trimmedTextLength
+      val (result, templist) = linkDensityTest(elem, elemLen, favorPrecision)
       if (result) deletions += elem
-      else if (backtracking && templist.nonEmpty)
+      else if (backtracking && templist.nonEmpty) {
+        // the string itself is only needed as the backtracking bucket key
+        val elemtext = Option(TextUtils.trim(elem.textContent)).getOrElse("")
         myelems.getOrElseUpdate(elemtext, mutable.ListBuffer.empty) += elem
+      }
     }
     if (backtracking) {
       val threshold = if (!favorPrecision) 100 else 200
@@ -196,17 +231,25 @@ object Cleaner {
   /** convert_tags (htmlprocessing.py:233-307). */
   def convertTags(tree: Node, options: ExtractorOptions, url: String = null): Node = {
     if (!options.links) {
-      // a under div/ul(/table) -> ref for link-density detection, strip the rest
-      val keep = mutable.HashSet.empty[Node]
-      val containers = if (options.tables) Set("div", "ul", "table") else Set("div", "ul")
-      tree.iterList(containers).foreach { c =>
-        c.descendants(Set("a")).foreach(keep += _)
+      // a under div/ul(/table) -> ref for link-density detection, strip the
+      // rest. One walk with an inside-container flag ('a' is never itself a
+      // container, so flag==true ⇔ some strict ancestor is a container) —
+      // the per-container descendants() form re-walked nested containers.
+      val containers = if (options.tables) ContainersT else Containers
+      val keep = mutable.ListBuffer.empty[Node]
+      def walk(n: Node, inside: Boolean): Unit = {
+        if (inside && n.tag == "a") keep += n
+        val in2 = inside || containers.contains(n.tag)
+        val cs = n.children
+        var i = 0
+        while (i < cs.length) { walk(cs(i), in2); i += 1 }
       }
+      walk(tree, containers.contains(tree.tag))
       keep.foreach(_.tag = "ref")
-      Dom.stripTags(tree, "a")
+      Dom.stripTagsSet(tree, TagA)
     } else {
       val baseUrl = if (url != null) getBaseUrl(url) else null
-      tree.iterLazy(Set("a", "ref")).foreach { elem =>
+      tree.iterLazy(TagARef).foreach { elem =>
         elem.tag = "ref"
         var target = elem.get("href")
         elem.clearAttrs()
@@ -217,7 +260,7 @@ object Cleaner {
       }
     }
     if (!options.formatting) {
-      Dom.stripTags(tree, RendTags.toSeq: _*)
+      Dom.stripTagsSet(tree, RendTags)
     } else {
       tree.iterLazy(RendTags).foreach { elem =>
         val attribute = RendMap(elem.tag)
@@ -233,7 +276,7 @@ object Cleaner {
           elem.set("rend", elem.tag)
           elem.tag = "list"
           var i = 1
-          elem.iterLazy(Set("dd", "dt", "li")).foreach { subelem =>
+          elem.iterLazy(TagListItems).foreach { subelem =>
             if (subelem.tag == "dd" || subelem.tag == "dt") {
               subelem.set("rend", s"${subelem.tag}-$i")
               if (subelem.tag == "dd") i += 1
@@ -252,11 +295,11 @@ object Cleaner {
           elem.set("rend", "overstrike")
         case "details" =>
           elem.tag = "div"
-          elem.iterLazy(Set("summary")).foreach(_.tag = "head")
+          elem.iterLazy(TagSummary).foreach(_.tag = "head")
         case _ =>
       }
     }
-    if (options.images) tree.iterLazy(Set("img")).foreach(_.tag = "graphic")
+    if (options.images) tree.iterLazy(TagImg).foreach(_.tag = "graphic")
     tree
   }
 

@@ -12,23 +12,79 @@ import scala.collection.mutable.ArrayBuffer
   * by MAX_FILE_SIZE (20 MB) so per-doc allocation is fine; the arena lives for
   * exactly one row of the mapPartitions kernel.
   */
+
+/** Minimal insertion-ordered attribute store (parallel arrays, linear scan):
+  * elements carry 0-3 attributes, so a LinkedHashMap (entry table + linked
+  * entries) per attributed node was a top GC-traffic source (AllocProf).
+  * Semantics match lxml attrib / LinkedHashMap: put keeps the original
+  * position on update, iteration is insertion order. */
+final class AttrMap private (private var ks: Array[String], private var vs: Array[String],
+    private var n: Int) {
+  def this() = this(new Array[String](4), new Array[String](4), 0)
+  def size: Int = n
+  def nonEmpty: Boolean = n > 0
+  private def indexOf(k: String): Int = {
+    var i = 0
+    while (i < n) { if (ks(i) == k) return i; i += 1 }
+    -1
+  }
+  def put(k: String, v: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) vs(i) = v
+    else {
+      if (n == ks.length) {
+        ks = java.util.Arrays.copyOf(ks, n * 2)
+        vs = java.util.Arrays.copyOf(vs, n * 2)
+      }
+      ks(n) = k; vs(n) = v; n += 1
+    }
+  }
+  def getOrNull(k: String): String = { val i = indexOf(k); if (i >= 0) vs(i) else null }
+  def contains(k: String): Boolean = indexOf(k) >= 0
+  def remove(k: String): Unit = {
+    val i = indexOf(k)
+    if (i >= 0) {
+      System.arraycopy(ks, i + 1, ks, i, n - i - 1)
+      System.arraycopy(vs, i + 1, vs, i, n - i - 1)
+      n -= 1
+      ks(n) = null; vs(n) = null
+    }
+  }
+  def foreachKV(f: (String, String) => Unit): Unit = {
+    var i = 0
+    while (i < n) { f(ks(i), vs(i)); i += 1 }
+  }
+  def keysList: List[String] = {
+    var out: List[String] = Nil
+    var i = n - 1
+    while (i >= 0) { out = ks(i) :: out; i -= 1 }
+    out
+  }
+  def copyAttrs(): AttrMap = new AttrMap(ks.clone(), vs.clone(), n)
+}
+
 final class Node(var tag: String) {
   var text: String = null
   var tail: String = null
   var parent: Node = null
-  val children: ArrayBuffer[Node] = ArrayBuffer.empty
+  // initial capacity 1, not the ArrayBuffer default 16: leaf nodes (half of
+  // any DOM) otherwise pay a 16-slot backing array each (AllocProf)
+  val children: ArrayBuffer[Node] = new ArrayBuffer(1)
   // insertion-ordered attributes, like lxml's attrib — allocated lazily
   // (most nodes are attribute-less; an eager map table dominates GC churn)
-  private var attrs0: mutable.LinkedHashMap[String, String] = null
+  private var attrs0: AttrMap = null
 
-  def attrs: mutable.LinkedHashMap[String, String] = {
-    if (attrs0 == null) attrs0 = mutable.LinkedHashMap.empty
+  def attrs: AttrMap = {
+    if (attrs0 == null) attrs0 = new AttrMap
     attrs0
   }
   def get(name: String): String =
-    if (attrs0 == null) null else attrs0.getOrElse(name, null)
-  def get(name: String, default: String): String =
-    if (attrs0 == null) default else attrs0.getOrElse(name, default)
+    if (attrs0 == null) null else attrs0.getOrNull(name)
+  def get(name: String, default: String): String = {
+    if (attrs0 == null) return default
+    val v = attrs0.getOrNull(name)
+    if (v == null && !attrs0.contains(name)) default else v
+  }
   def set(name: String, value: String): Unit = attrs.put(name, value)
   def has(name: String): Boolean = attrs0 != null && attrs0.contains(name)
   def hasAttrs: Boolean = attrs0 != null && attrs0.nonEmpty
@@ -141,19 +197,41 @@ final class Node(var tag: String) {
   def iterDescendantsLazy(tags: Set[String] = null): Iterator[Node] =
     iterLazy(null).drop(1).filter(n => tags == null || tags.contains(n.tag))
 
-  /** Snapshot pre-order list including self. */
-  def iterList(tags: Set[String] = null): List[Node] = {
-    val buf = ArrayBuffer.empty[Node]
-    def walk(n: Node): Unit = { buf += n; n.children.foreach(walk) }
-    walk(this)
-    val l = buf.toList
-    if (tags == null) l else l.filter(n => tags.contains(n.tag))
+  /** Zero-allocation LIVE pre-order walk including self. Safe only when `f`
+    * does not mutate the tree (collect-then-mutate call sites); use
+    * iterList for snapshot semantics. */
+  def foreachNode(f: Node => Unit): Unit = {
+    f(this)
+    val cs = children
+    var i = 0
+    while (i < cs.length) { cs(i).foreachNode(f); i += 1 }
   }
 
+  /** Snapshot pre-order list including self. The tag filter is applied
+    * DURING the walk (one cons per match) — the old build-all-then-filter
+    * shape allocated two O(n) lists per call, which dominated kernel GC
+    * traffic (the extraction job is memory-bandwidth-bound at high core
+    * counts; see graft.tools.AllocProf). */
+  def iterList(tags: Set[String] = null): List[Node] = collectList(tags, includeSelf = true)
+
   /** Snapshot of strict descendants (lxml descendant axis). */
-  def descendants(tags: Set[String] = null): List[Node] = iterList(tags) match {
-    case l if tags == null => l.tail
-    case l                 => l.filterNot(_ eq this)
+  def descendants(tags: Set[String] = null): List[Node] = collectList(tags, includeSelf = false)
+
+  private def collectList(tags: Set[String], includeSelf: Boolean): List[Node] = {
+    val buf = ArrayBuffer.empty[Node]
+    def walk(n: Node): Unit = {
+      if (tags == null || tags.contains(n.tag)) buf += n
+      val cs = n.children
+      var i = 0
+      while (i < cs.length) { walk(cs(i)); i += 1 }
+    }
+    if (includeSelf) walk(this)
+    else {
+      val cs = children
+      var i = 0
+      while (i < cs.length) { walk(cs(i)); i += 1 }
+    }
+    buf.toList
   }
 
   /** First strict descendant with the tag, document order (lxml `find('.//t')`). */
@@ -172,7 +250,9 @@ final class Node(var tag: String) {
     val buf = ArrayBuffer.empty[String]
     def walk(n: Node): Unit = {
       if (n.text != null) buf += n.text
-      n.children.foreach { c => walk(c); if (c.tail != null) buf += c.tail }
+      val cs = n.children
+      var i = 0
+      while (i < cs.length) { val c = cs(i); walk(c); if (c.tail != null) buf += c.tail; i += 1 }
     }
     walk(this)
     buf.toList
@@ -183,10 +263,51 @@ final class Node(var tag: String) {
     val sb = new java.lang.StringBuilder
     def walk(n: Node): Unit = {
       if (n.text != null) sb.append(n.text)
-      n.children.foreach { c => walk(c); if (c.tail != null) sb.append(c.tail) }
+      val cs = n.children
+      var i = 0
+      while (i < cs.length) { val c = cs(i); walk(c); if (c.tail != null) sb.append(c.tail); i += 1 }
     }
     walk(this)
     sb.toString
+  }
+
+
+  /** Raw textContent length without building the string (zero alloc). */
+  def textContentLength: Int = {
+    var len = 0
+    def walk(n: Node): Unit = {
+      if (n.text != null) len += n.text.length
+      val cs = n.children
+      var i = 0
+      while (i < cs.length) { val c = cs(i); walk(c); if (c.tail != null) len += c.tail.length; i += 1 }
+    }
+    walk(this)
+    len
+  }
+
+  /** Length of TextUtils-style trim(textContent) without building either
+    * string: whitespace runs collapse to one ' ', leading/trailing dropped.
+    * Zero alloc — used by the length-only link-density/rollback gates. */
+  def trimmedTextLength: Int = {
+    var len = 0
+    var pendingSpace = false
+    def piece(s: String): Unit = {
+      var i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        if (graft.text.TextUtils.isPyWhitespace(c)) { if (len > 0) pendingSpace = true }
+        else { if (pendingSpace) { len += 1; pendingSpace = false }; len += 1 }
+        i += 1
+      }
+    }
+    def walk(n: Node): Unit = {
+      if (n.text != null) piece(n.text)
+      val cs = n.children
+      var i = 0
+      while (i < cs.length) { val c = cs(i); walk(c); if (c.tail != null) piece(c.tail); i += 1 }
+    }
+    walk(this)
+    len
   }
 
   // ------------------------------------------------------------------ copies
@@ -194,9 +315,11 @@ final class Node(var tag: String) {
   def deepCopy: Node = {
     val n = new Node(tag)
     n.text = text; n.tail = tail
-    if (attrs0 != null && attrs0.nonEmpty) n.attrs0 = mutable.LinkedHashMap(attrs0.toSeq: _*)
-    children.foreach { c =>
-      val cc = c.deepCopy; cc.parent = n; cc.idx = n.children.length; n.children += cc
+    if (attrs0 != null && attrs0.nonEmpty) n.attrs0 = attrs0.copyAttrs()
+    var i = 0
+    while (i < children.length) {
+      val cc = children(i).deepCopy; cc.parent = n; cc.idx = n.children.length; n.children += cc
+      i += 1
     }
     n
   }
@@ -240,12 +363,17 @@ object Dom {
     * are direct concatenation (libxml2 merges adjacent text nodes).
     * Single-pass rebuild per parent with StringBuilder text sinks — naive
     * splicing is quadratic on wide nodes (60k stripped siblings -> minutes). */
-  def stripTags(root: Node, tags: String*): Unit = {
-    val tagSet = tags.toSet
+  def stripTags(root: Node, tags: String*): Unit = stripTagsSet(root, tags.toSet)
+
+  def stripTagsSet(root: Node, tagSet: Set[String]): Unit = {
     def process(n: Node): Unit = {
       // bottom-up so nested matching tags are already unwrapped
-      n.children.foreach(process)
-      if (!n.children.exists(c => tagSet.contains(c.tag))) return
+      var ci = 0
+      while (ci < n.children.length) { process(n.children(ci)); ci += 1 }
+      var any = false
+      ci = 0
+      while (!any && ci < n.children.length) { if (tagSet.contains(n.children(ci).tag)) any = true; ci += 1 }
+      if (!any) return
       val newBuf = new ArrayBuffer[Node](n.children.length)
       // active text sink: parent text while newBuf empty, else last node tail
       var sb: java.lang.StringBuilder = null
@@ -274,10 +402,14 @@ object Dom {
       def addText(t: String): Unit = {
         if (t != null && t.nonEmpty) { openSink(); sb.append(t) }
       }
-      n.children.foreach { c =>
+      var mi = 0
+      while (mi < n.children.length) {
+        val c = n.children(mi)
+        mi += 1
         if (tagSet.contains(c.tag)) {
           addText(c.text)
-          c.children.foreach(addNode)
+          var gi = 0
+          while (gi < c.children.length) { addNode(c.children(gi)); gi += 1 }
           c.children.clear()
           c.parent = null
           c.idx = -1
@@ -301,7 +433,7 @@ object Dom {
       s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     def walk(x: Node): Unit = {
       sb.append('<').append(x.tag)
-      if (x.hasAttrs) x.attrs.foreach { case (k, v) => sb.append(' ').append(k).append("=\"").append(esc(v).replace("\"", "&quot;")).append('"') }
+      if (x.hasAttrs) x.attrs.foreachKV { (k, v) => sb.append(' ').append(k).append("=\"").append(esc(v).replace("\"", "&quot;")).append('"') }
       if (x.text == null && x.children.isEmpty) sb.append("/>")
       else {
         sb.append('>')

@@ -8,6 +8,8 @@ import java.util.regex.Pattern
 
 /** Safety-net extractors (core.py:717-793). */
 object Baseline {
+  // hoisted tag sets: per-call Set literals were measurable GC churn (AllocProf)
+  private val BaselineTags = Set("blockquote", "code", "p", "pre", "q", "quote")
 
   /** JSON_SEARCH (core.py:50). */
   private val JsonSearch = Pattern.compile("(?i)\"articlebody\": *\"(.+?)(?<!\\\\)\"")
@@ -44,7 +46,7 @@ object Baseline {
     }
     // scrape from text paragraphs
     val results = scala.collection.mutable.HashSet.empty[String]
-    tree.iterLazy(Set("blockquote", "code", "p", "pre", "q", "quote")).foreach { element =>
+    tree.iterLazy(BaselineTags).foreach { element =>
       val entry = element.textContent
       if (!results.contains(entry)) {
         val p = Dom.subElement(postbody, "p")

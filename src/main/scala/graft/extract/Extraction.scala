@@ -22,6 +22,12 @@ final case class ExtractedDoc(
   * `extract`), the kernel run per row inside the Spark `mapPartitions`
   * transform. Pure Scala — no Spark types. */
 object Extraction {
+  // hoisted tag sets (per-call Set literals were GC churn — AllocProf)
+  private val TagTable = Set("table")
+  private val TagP = Set("p")
+  private val TagHead = Set("head")
+  private val TagH234 = Set("h2", "h3", "h4")
+  private val TagRef = Set("ref")
 
   /** Debug switch: propagate kernel exceptions instead of the reference's
     * silent ValueError channel (core.py:994-996). */
@@ -50,10 +56,10 @@ object Extraction {
     else if (lenText > 2 * lenAlgo) algoFlag = false
     else if (lenAlgo > 2 * lenText) algoFlag = true
     else if (!rBody.iterList(Set("p")).exists(p => p.itertext.nonEmpty) && lenAlgo > minTargetLength * 2) algoFlag = true
-    else if (rBody.descendants(Set("table")).length > rBody.descendants(Set("p")).length &&
+    else if (rBody.descendants(TagTable).length > rBody.descendants(TagP).length &&
       lenAlgo > minTargetLength * 2) algoFlag = true
-    else if (options.recall && rBody.descendants(Set("head")).isEmpty &&
-      tempPostAlgo.descendants(Set("h2", "h3", "h4")).nonEmpty && lenAlgo > lenText) algoFlag = true
+    else if (options.recall && rBody.descendants(TagHead).isEmpty &&
+      tempPostAlgo.descendants(TagH234).nonEmpty && lenAlgo > lenText) algoFlag = true
     else algoFlag = false
     KTrace.log(s"compare: lenText=$lenText lenAlgo=$lenAlgo algoFlag=$algoFlag")
     if (algoFlag) { rBody = tempPostAlgo; rText = algoText; lenText = lenAlgo }
@@ -182,7 +188,7 @@ object Extraction {
       // text only for markdown formatting and ref links — copy only then
       val spans = Serializers.toSpans(postbody, commentsBody)
       def renderCopy(n: Node): Node =
-        if (options.formatting || n.iterLazy(Set("ref")).hasNext) n.deepCopy else n
+        if (options.formatting || n.iterLazy(TagRef).hasNext) n.deepCopy else n
       val text = Serializers.xmlToTxt(renderCopy(postbody), options.formatting)
       val commentsTxt =
         if (options.comments && commentsBody != null)
@@ -270,6 +276,7 @@ object Extraction {
 /** Fallback arbiters (external.py): readability fork + jusText classifier +
   * sanitize_tree post-processing. */
 object Fallbacks {
+  private val TagCells = Set("td", "th", "tr")
   /** try_readability (external.py:37-46). */
   def tryReadability(backupTree: Node): Node = Readability.tryReadability(backupTree)
 
@@ -292,7 +299,7 @@ object Fallbacks {
     if (!options.links) Dom.stripTags(tree, "a")
     Dom.stripTags(tree, "span")
     tree = Cleaner.convertTags(tree, options)
-    tree.iterLazy(Set("td", "th", "tr")).foreach { elem =>
+    tree.iterLazy(TagCells).foreach { elem =>
       elem.tag match {
         case "tr" => elem.tag = "row"
         case "td" | "th" =>

@@ -9,6 +9,7 @@ import graft.text.TextUtils
   * vocabulary. All functions build NEW nodes; originals are only retagged
   * (`done`), mirroring the reference's mutation discipline. */
 object Handlers {
+  private val TagItem = Set("item")
 
   val FormattingProtected = Set("cell", "head", "hi", "item", "p", "quote", "td")
   val PFormatting = Set("hi", "ref")
@@ -104,7 +105,7 @@ object Handlers {
       val newchildelem = Dom.subElement(processedElement, "item")
       newchildelem.text = element.text
     }
-    element.iterLazy(Set("item")).foreach { child =>
+    element.iterLazy(TagItem).foreach { child =>
       val newchildelem = Dom.elem("item")
       if (child.children.isEmpty) {
         val processedChild = processNode(child, options)
@@ -126,7 +127,7 @@ object Handlers {
               val subchildelem = Dom.subElement(newchildelem, processedSubchild.tag)
               subchildelem.text = processedSubchild.text
               subchildelem.tail = processedSubchild.tail
-              if (subelem.hasAttrs) subelem.attrs.foreach { case (k, v) => subchildelem.set(k, v) }
+              if (subelem.hasAttrs) subelem.attrs.foreachKV { (k, v) => subchildelem.set(k, v) }
             }
           }
           subelem.tag = "done"
@@ -334,7 +335,7 @@ object Handlers {
     if (TextUtils.isImageFile(element.get("data-src"))) processedElement.set("src", element.get("data-src"))
     else if (TextUtils.isImageFile(element.get("src"))) processedElement.set("src", element.get("src"))
     else {
-      (if (element.hasAttrs) element.attrs.keysIterator.find(a => a.startsWith("data-src") && TextUtils.isImageFile(element.get(a))) else None)
+      (if (element.hasAttrs) element.attrs.keysList.find(a => a.startsWith("data-src") && TextUtils.isImageFile(element.get(a))) else None)
         .foreach(a => processedElement.set("src", element.get(a)))
     }
     if (element.get("alt") != null) processedElement.set("alt", element.get("alt"))

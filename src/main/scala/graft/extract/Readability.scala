@@ -30,14 +30,15 @@ final class Readability(var doc: Node, minTextLength: Int = 25, retryLength: Int
   private val StructureScores = Set("h1", "h2", "h3", "h4", "h5", "h6", "th", "header", "footer", "nav")
   private val FrameTags = Set("body", "html")
   private val ListTags = Set("ol", "ul")
+  private val TagA = Set("a")
+  private val TagInput = Set("input")
   // the regex '<(a|blockquote|dl|div|img|ol|p|pre|table|ul)' matches prefixes
   private val DivToPPrefix = List("a", "blockquote", "dl", "div", "img", "ol", "p", "table", "ul")
 
   private final class Candidate(var score: Double, val elem: Node)
 
   private def textLength(elem: Node): Int = {
-    val t = trim(elem.textContent)
-    if (t == null) 0 else t.length
+    elem.trimmedTextLength
   }
 
   private def tags(node: Node, tagNames: String*): List[Node] =
@@ -64,7 +65,7 @@ final class Readability(var doc: Node, minTextLength: Int = 25, retryLength: Int
 
   private def getLinkDensity(elem: Node): Double = {
     val total = math.max(textLength(elem), 1)
-    val linkLength = elem.descendants(Set("a")).map(textLength).sum
+    val linkLength = elem.descendants(TagA).map(textLength).sum
     linkLength.toDouble / total
   }
 
@@ -240,7 +241,7 @@ final class Readability(var doc: Node, minTextLength: Int = 25, retryLength: Int
             val counts = mutable.Map.empty[String, Int]
             TextCleanElems.foreach(k => counts(k) = elem.descendants(Set(k)).length)
             counts("li") -= 100
-            counts("input") -= elem.descendants(Set("input")).count(_.get("type") == "hidden")
+            counts("input") -= elem.descendants(TagInput).count(_.get("type") == "hidden")
             val contentLength = textLength(elem)
             val linkDensity = getLinkDensity(elem)
             val parentNode = elem.getparent

@@ -9,20 +9,57 @@ object SimHash {
   private val Punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
 
   /** sample_tokens (hashing.py:14-27): split, strip punctuation, keep alnum,
-    * adaptive min length to keep >= length/2 tokens. */
+    * adaptive min length to keep >= length/2 tokens.
+    *
+    * Index-scan implementation (no regex split, no per-token reverse/
+    * dropWhile copies, single filter pass): byte-identical output to the
+    * split("\\s+") + dropWhile.reverse form — the fingerprint phase was
+    * ~20 KB/doc of allocation, which matters because the kernel is
+    * memory-bandwidth-bound at high core counts (AllocProf). */
   def sampleTokens(input: String, length: Int = 64): List[String] = {
-    val tokens = input.split("\\s+").iterator
-      .map(t => t.dropWhile(Punct.contains).reverse.dropWhile(Punct.contains).reverse)
-      .filter(t => t.nonEmpty && t.forall(c => Character.isLetterOrDigit(c)))
-      .toList
-    var i = 4
-    var sample: List[String] = Nil
-    while (i >= 0) {
-      sample = tokens.filter(_.length > i)
-      if (sample.length >= length / 2) return sample
-      i -= 1
+    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val n = input.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
+      var j = i
+      while (j < n && !Character.isWhitespace(input.charAt(j))) j += 1
+      if (j > i) {
+        // strip leading/trailing ASCII punctuation (string.punctuation)
+        var a = i
+        var b = j
+        while (a < b && Punct.contains(input.charAt(a))) a += 1
+        while (b > a && Punct.contains(input.charAt(b - 1))) b -= 1
+        if (b > a) {
+          var k = a
+          var alnum = true
+          while (k < b && alnum) {
+            if (!Character.isLetterOrDigit(input.charAt(k))) alnum = false
+            k += 1
+          }
+          if (alnum) toks += input.substring(a, b)
+        }
+        i = j
+      }
     }
-    sample
+    // adaptive min length: first i in 4..0 keeping >= length/2 tokens;
+    // falls through to the i=0 sample like the reference loop
+    var minLen = 4
+    var chosen = -1
+    while (minLen >= 0 && chosen < 0) {
+      var c = 0
+      var t = 0
+      while (t < toks.length) { if (toks(t).length > minLen) c += 1; t += 1 }
+      if (c >= length / 2 || minLen == 0) chosen = minLen
+      else minLen -= 1
+    }
+    var out = List.empty[String]
+    var t = toks.length - 1
+    while (t >= 0) {
+      if (toks(t).length > chosen) out = toks(t) :: out
+      t -= 1
+    }
+    out
   }
 
   /** _hash (hashing.py:58-62): big-endian 8-byte blake2b digest as unsigned. */

@@ -22,6 +22,8 @@ final case class DocMeta(
   * title/author-XPath, canonical-URL, license and sitename paths. JSON-LD
   * parsing is a follow-up (metadata.py:146-157). */
 object Metadata {
+  private val TagMeta = Set("meta")
+  private val TagLink = Set("link")
 
   private val MetanameAuthor = Set(
     "article:author", "atc-metaauthor", "author", "authors", "byl", "citation_author",
@@ -210,7 +212,7 @@ object Metadata {
 
   private def headMetas(tree: Node): List[Node] = {
     val heads = tree.iterList(Set("head"))
-    heads.flatMap(_.descendants(Set("meta")))
+    heads.flatMap(_.descendants(TagMeta))
   }
 
   private def normalizeTags(tags: String): String = {
@@ -354,7 +356,7 @@ object Metadata {
   def extractUrl(tree: Node, defaultUrl: String): String = {
     var url: String = null
     val heads = tree.iterList(Set("head"))
-    val links = heads.flatMap(_.descendants(Set("link")))
+    val links = heads.flatMap(_.descendants(TagLink))
     links.find(l => l.get("rel") == "canonical" && l.get("href") != null)
       .foreach(l => url = l.get("href"))
     if (url == null)

@@ -7,6 +7,7 @@ import graft.text.TextUtils
 /** Output-side value projection (xml.py:203-283): the document-order walk
   * that defines span text and ordering, plus the txt/markdown rendering. */
 object Serializers {
+  private val HeadCodeP = Set("code", "head", "p")
 
   /** Ordered extraction result span — the engine's primary output unit
     * (BASELINE.json input_hint / FIXTURES.md §2). */
@@ -86,9 +87,9 @@ object Serializers {
 
   /** strip_double_tags (xml.py:91-99). */
   def stripDoubleTags(tree: Node): Node = {
-    val targets = tree.descendants(Set("head", "code", "p")).reverse
+    val targets = tree.descendants(HeadCodeP).reverse
     targets.foreach { elem =>
-      elem.iterDescendantsLazy(Set("code", "head", "p")).toList.foreach { subelem =>
+      elem.iterDescendantsLazy(HeadCodeP).toList.foreach { subelem =>
         if (subelem.getparent != null && !NestingWhitelist.contains(subelem.getparent.tag) &&
           subelem.tag == elem.tag)
           mergeWithParent(subelem)

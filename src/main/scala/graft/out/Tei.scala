@@ -168,7 +168,7 @@ object Tei {
 
   private def teiHandleComplexHead(element: Node): Node = {
     val newElement = Dom.elem("ab")
-    element.attrs.foreach { case (k, v) => newElement.set(k, v) }
+    element.attrs.foreachKV { (k, v) => newElement.set(k, v) }
     newElement.text = if (element.text != null) element.text.trim else null
     element.children.toList.foreach { child =>
       if (child.tag == "p") {
@@ -279,7 +279,7 @@ object Tei {
             wrapUnwantedSiblingsOfDiv(element)
           }
           if (element.hasAttrs)
-            element.attrs.keys.toList.foreach { a =>
+            element.attrs.keysList.foreach { a =>
               if (!TeiValidAttrs.contains(a)) element.attrs.remove(a)
             }
         }

@@ -489,7 +489,8 @@ object HtmlParser {
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' || s.charAt(i) == ':')) i += 1
     val name = s.substring(nameStart, i).toLowerCase
-    val attrs = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // lazy: most tags carry no attributes — don't allocate the buffer for them
+    var attrs: scala.collection.mutable.ArrayBuffer[(String, String)] = null
     var selfClosing = false
     var done = false
     while (!done && i < n) {
@@ -528,9 +529,12 @@ object HtmlParser {
               i = k
             }
           } else i = i
-          if (aName.nonEmpty) attrs += (aName -> aValue)
+          if (aName.nonEmpty) {
+            if (attrs == null) attrs = new scala.collection.mutable.ArrayBuffer[(String, String)](4)
+            attrs += (aName -> aValue)
+          }
       }
     }
-    (name, attrs.toSeq, selfClosing, i)
+    (name, if (attrs == null) Nil else attrs.toSeq, selfClosing, i)
   }
 }

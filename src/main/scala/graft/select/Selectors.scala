@@ -53,11 +53,30 @@ object Selectors {
   }
 
   /** All strict descendants matching the rule, document order (`.//…`). */
-  def findAll(root: Node, rule: Rule): List[Node] =
-    root.descendants(null).filter(rule.matches)
+  def findAll(root: Node, rule: Rule): List[Node] = {
+    // snapshot collected in one walk with a lazily-created buffer (most
+    // rules match nothing on most documents) — the old full-list + filter
+    // shape allocated two O(n) lists per rule per doc (AllocProf)
+    var buf: scala.collection.mutable.ListBuffer[Node] = null
+    root.foreachNode { n =>
+      if ((n ne root) && rule.matches(n)) {
+        if (buf == null) buf = new scala.collection.mutable.ListBuffer[Node]
+        buf += n
+      }
+    }
+    if (buf == null) Nil else buf.toList
+  }
 
-  def findAll(root: Node, rules: Seq[Rule]): List[Node] =
-    root.descendants(null).filter(n => rules.exists(_.matches(n)))
+  def findAll(root: Node, rules: Seq[Rule]): List[Node] = {
+    var buf: scala.collection.mutable.ListBuffer[Node] = null
+    root.foreachNode { n =>
+      if ((n ne root) && rules.exists(_.matches(n))) {
+        if (buf == null) buf = new scala.collection.mutable.ListBuffer[Node]
+        buf += n
+      }
+    }
+    if (buf == null) Nil else buf.toList
+  }
 
   /** First matching strict descendant in document order — equivalent to
     * `tree.xpath(expr)[0]` for every expr shape in xpaths.py (see SURVEY §2.2). */

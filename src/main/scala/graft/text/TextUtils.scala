@@ -26,6 +26,21 @@ object TextUtils {
     * whitespace run to a single space and strip ends. Returns null for null. */
   def trim(s: String): String = {
     if (s == null) return null
+    // fast path: already collapsed (no leading/trailing/double space, no
+    // non-space py-whitespace) — returns the input without allocating;
+    // trim runs per text node/handler call, so this is hot (AllocProf)
+    val n0 = s.length
+    var fast = true
+    var prevSpace = true // position -1 counts as space => leading space fails
+    var j = 0
+    while (fast && j < n0) {
+      val c = s.charAt(j)
+      if (c == ' ') { if (prevSpace) fast = false; prevSpace = true }
+      else if (isPyWhitespace(c)) fast = false
+      else prevSpace = false
+      j += 1
+    }
+    if (fast && !prevSpace) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
     var pendingSpace = false

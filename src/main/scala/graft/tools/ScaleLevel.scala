@@ -7,10 +7,12 @@ import org.apache.spark.sql.SparkSession
   * cores as the Spark workers — the honest N-core-cluster emulation
   * (in-JVM local[N] on a 32-core host lets the idle cores assist GC,
   * inflating small-N throughput and understating scaling efficiency).
-  * Prints one line: LEVEL cpus=<n> docs=<n> sec=<s> tput=<d/s>. */
+  * Prints per run: LEVEL cpus=<n> docs=<n> sec=<s> tput=<d/s>
+  *                 scan_sec=<s> kernel_core_sec=<s>. */
 object ScaleLevel {
   def main(args: Array[String]): Unit = {
     val cpus = args(0).toInt
+    val runs = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_FACTOR", "80").toInt
     val spark = SparkSession.builder().master(s"local[$cpus]")
@@ -23,13 +25,19 @@ object ScaleLevel {
       .repartition(cpus * 4, org.apache.spark.sql.functions.col("doc_id")).persist()
     docs.count()
     ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count() // warmup
-    val runs = (1 to 2).map { _ =>
+    (1 to runs).foreach { _ =>
+      val s0 = System.nanoTime()
+      docs.count() // scan-only cost of the cached input
+      val scanSec = (System.nanoTime() - s0) / 1e9
       val t0 = System.nanoTime()
-      val n = ExtractPipeline.extractDocs(docs, opts).filter(_.ok).count()
-      (n, (System.nanoTime() - t0) / 1e9)
+      val agg = ExtractPipeline.extractDocs(docs, opts).filter(_.ok)
+        .groupBy().agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)),
+          org.apache.spark.sql.functions.sum("kernel_us")).collect()(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      val n = agg.getLong(0)
+      println(f"LEVEL cpus=$cpus docs=$n sec=$t%.3f tput=${n / t}%.1f scan_sec=$scanSec%.3f kernel_core_sec=${agg.getLong(1) / 1e6}%.3f")
     }
-    val (n, t) = runs.minBy(_._2)
-    println(f"LEVEL cpus=$cpus docs=$n sec=$t%.3f tput=${n / t}%.1f")
     spark.stop()
   }
 }
