@@ -217,6 +217,38 @@ final class Node(var tag: String) {
   /** Snapshot of strict descendants (lxml descendant axis). */
   def descendants(tags: Set[String] = null): List[Node] = collectList(tags, includeSelf = false)
 
+  /** True iff itertext would be non-empty: any non-null text, or non-null
+    * tail on a non-root node (zero alloc). */
+  def hasAnyTextPiece: Boolean = {
+    if (text != null) return true
+    val cs = children
+    var i = 0
+    while (i < cs.length) { if (cs(i).hasAnyTextPieceOrTail) return true; i += 1 }
+    false
+  }
+  private def hasAnyTextPieceOrTail: Boolean = {
+    if (text != null || tail != null) return true
+    val cs = children
+    var i = 0
+    while (i < cs.length) { if (cs(i).hasAnyTextPieceOrTail) return true; i += 1 }
+    false
+  }
+
+  /** descendants(tags).length without materializing the list (zero alloc). */
+  def countDescendants(tags: Set[String]): Int = {
+    var n = 0
+    def walk(x: Node): Unit = {
+      if (tags == null || tags.contains(x.tag)) n += 1
+      val cs = x.children
+      var i = 0
+      while (i < cs.length) { walk(cs(i)); i += 1 }
+    }
+    val cs = children
+    var i = 0
+    while (i < cs.length) { walk(cs(i)); i += 1 }
+    n
+  }
+
   private def collectList(tags: Set[String], includeSelf: Boolean): List[Node] = {
     val buf = ArrayBuffer.empty[Node]
     def walk(n: Node): Unit = {

@@ -80,9 +80,12 @@ object ContentExtractor {
           // `//p//text()` is document-absolute in the reference (core.py:565)
           var docRoot = subtree
           while (docRoot.parent != null) docRoot = docRoot.parent
-          val ptest = docRoot.iterList(Set("p")).flatMap(_.itertext).mkString
+          // `//p//text()` length only — sum textContentLength over p nodes
+          // (nested p double-count matches the flatMap(_.itertext) form)
+          var ptestLen = 0
+          docRoot.foreachNode(n => if (n.tag == "p") ptestLen += n.textContentLength)
           val factor = if (options.recall) 5 else if (options.precision) 1 else 3
-          if (ptest.isEmpty || ptest.length < options.config.minExtractedSize * factor)
+          if (ptestLen == 0 || ptestLen < options.config.minExtractedSize * factor)
             potentialTags = potentialTags + "div"
           if (!potentialTags.contains("ref")) Dom.stripTags(subtree, "ref")
           if (!potentialTags.contains("span")) Dom.stripTags(subtree, "span")

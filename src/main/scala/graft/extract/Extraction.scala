@@ -55,8 +55,8 @@ object Extraction {
     else if (lenText == 0 && lenAlgo > 0) algoFlag = true
     else if (lenText > 2 * lenAlgo) algoFlag = false
     else if (lenAlgo > 2 * lenText) algoFlag = true
-    else if (!rBody.iterList(Set("p")).exists(p => p.itertext.nonEmpty) && lenAlgo > minTargetLength * 2) algoFlag = true
-    else if (rBody.descendants(TagTable).length > rBody.descendants(TagP).length &&
+    else if (!rBody.iterList(TagP).exists(_.hasAnyTextPiece) && lenAlgo > minTargetLength * 2) algoFlag = true
+    else if (rBody.countDescendants(TagTable) > rBody.countDescendants(TagP) &&
       lenAlgo > minTargetLength * 2) algoFlag = true
     else if (options.recall && rBody.descendants(TagHead).isEmpty &&
       tempPostAlgo.descendants(TagH234).nonEmpty && lenAlgo > lenText) algoFlag = true

@@ -5,7 +5,7 @@ import graft.dom.Node
 import graft.parse.Entities
 import graft.select.Selectors
 import graft.select.Selectors.Rule
-import graft.text.TextUtils
+import graft.text.{Re, TextUtils}
 import graft.text.TextUtils.trim
 
 import java.util.regex.Pattern
@@ -92,23 +92,23 @@ object Metadata {
   def normalizeAuthors(currentAuthors: String, authorStringIn: String): String = {
     var authorString = authorStringIn
     if (authorString.toLowerCase.startsWith("http") ||
-      AuthorEmail.matcher(authorString).lookingAt()) return currentAuthors
+      Re.m(AuthorEmail, authorString).lookingAt()) return currentAuthors
     var newAuthors = scala.collection.mutable.ListBuffer.empty[String]
     if (currentAuthors != null) newAuthors ++= currentAuthors.split("; ")
     if (authorString.contains("&#") || authorString.contains("&amp;"))
       authorString = Entities.unescape(authorString)
-    authorString = AuthorRemoveHtml.matcher(authorString).replaceAll("")
+    authorString = Re.m(AuthorRemoveHtml, authorString).replaceAll("")
     AuthorSplit.split(authorString).foreach { a0 =>
       var author = trim(a0)
       if (author != null) {
-        author = AuthorEmoji.matcher(author).replaceAll("")
-        author = AuthorTwitter.matcher(author).replaceAll("")
-        author = Option(trim(AuthorReplaceJoin.matcher(author).replaceAll(" "))).getOrElse("")
-        author = AuthorRemoveNickname.matcher(author).replaceAll("")
-        author = AuthorRemoveSpecial.matcher(author).replaceAll("")
-        author = AuthorPrefix.matcher(author).replaceFirst("")
-        author = AuthorRemoveNumbers.matcher(author).replaceAll("")
-        author = AuthorRemovePreposition.matcher(author).replaceAll("")
+        author = Re.m(AuthorEmoji, author).replaceAll("")
+        author = Re.m(AuthorTwitter, author).replaceAll("")
+        author = Option(trim(Re.m(AuthorReplaceJoin, author).replaceAll(" "))).getOrElse("")
+        author = Re.m(AuthorRemoveNickname, author).replaceAll("")
+        author = Re.m(AuthorRemoveSpecial, author).replaceAll("")
+        author = Re.m(AuthorPrefix, author).replaceFirst("")
+        author = Re.m(AuthorRemoveNumbers, author).replaceAll("")
+        author = Re.m(AuthorRemovePreposition, author).replaceAll("")
         val skip = author.isEmpty ||
           (!author.contains(" ") && !author.contains("-") && author.length >= 50)
         if (!skip) {
@@ -216,7 +216,7 @@ object Metadata {
   }
 
   private def normalizeTags(tags: String): String = {
-    val t = CleanMetaTags.matcher(trim(Entities.unescape(tags))).replaceAll("")
+    val t = Re.m(CleanMetaTags, trim(Entities.unescape(tags))).replaceAll("")
     t.split(", ").filter(_.nonEmpty).mkString(", ")
   }
 
@@ -270,7 +270,9 @@ object Metadata {
     headMetas(tree).foreach { elem =>
       val rawContent = elem.get("content")
       if (rawContent != null && rawContent.nonEmpty) {
-        val contentAttr = HtmlStripTag.matcher(rawContent).replaceAll("")
+        val contentAttr =
+          if (rawContent.indexOf('<') < 0) rawContent
+          else Re.m(HtmlStripTag, rawContent).replaceAll("")
         if (elem.has("property")) {
           val prop = elem.get("property")
           if (!prop.startsWith("og:")) {
@@ -323,7 +325,7 @@ object Metadata {
     if (titleElem == null) return (null, null, null)
     val title = trim(titleElem.textContent)
     if (title == null) return (null, null, null)
-    val m = HtmlTitleRegex.matcher(title)
+    val m = Re.m(HtmlTitleRegex, title)
     if (m.matches()) (title, m.group(1), m.group(2)) else (title, null, null)
   }
 
@@ -384,28 +386,37 @@ object Metadata {
   }
 
   /** extract_catstags (metadata.py:399-422). */
+  private val CategoryHrefRegex = Pattern.compile("/category[s|ies]?/")
+  private val TagHrefRegex = Pattern.compile("/tag[s|ies]?/")
+  private val TagAnchor = Set("a")
+
   def extractCatstags(metatype: String, tree: Node): List[String] = {
-    val regex = Pattern.compile("/" + metatype + "[s|ies]?/")
+    val regex = if (metatype == "category") CategoryHrefRegex else TagHrefRegex
     val rules = if (metatype == "category") categoriesRules else tagsRules
     var results = List.empty[String]
-    // one walk: bucket matching containers per rule index, then first
-    // rule (in order) with qualifying links wins
-    val buckets = Array.fill(rules.length)(List.newBuilder[graft.dom.Node])
-    tree.iterList(null).foreach { n =>
+    // one walk: bucket matching containers per rule index (buckets created
+    // lazily — most rules match nothing), then first rule (in order) with
+    // qualifying links wins
+    val buckets = new Array[scala.collection.mutable.ListBuffer[graft.dom.Node]](rules.length)
+    tree.foreachNode { n =>
       if (n ne tree) {
         var i = 0
         while (i < rules.length) {
-          if (rules(i).matches(n)) buckets(i) += n
+          if (rules(i).matches(n)) {
+            if (buckets(i) == null) buckets(i) = new scala.collection.mutable.ListBuffer
+            buckets(i) += n
+          }
           i += 1
         }
       }
     }
-    val it = buckets.iterator
-    while (it.hasNext && results.isEmpty) {
-      val containers = it.next().result()
-      results = containers.flatMap(_.descendants(Set("a")))
-        .filter(a => a.get("href") != null && regex.matcher(a.get("href")).find())
+    var bi = 0
+    while (bi < buckets.length && results.isEmpty) {
+      val containers = if (buckets(bi) == null) Nil else buckets(bi).toList
+      results = containers.flatMap(_.descendants(TagAnchor))
+        .filter(a => a.get("href") != null && Re.m(regex, a.get("href")).find())
         .map(_.textContent)
+      bi += 1
     }
     if (metatype == "category" && results.isEmpty) {
       results = headMetas(tree).filter { e =>
@@ -421,12 +432,12 @@ object Metadata {
     def parseLicense(element: Node, strict: Boolean): String = {
       val href = element.get("href")
       if (href != null) {
-        val m = LicenseRegex.matcher(href)
+        val m = Re.m(LicenseRegex, href)
         if (m.find()) return "CC " + m.group(1).toUpperCase + " " + m.group(2)
       }
       if (element.text != null) {
         if (!strict) return trim(element.text)
-        val m = TextLicenseRegex.matcher(element.text)
+        val m = Re.m(TextLicenseRegex, element.text)
         if (m.find()) return m.group(0)
       }
       null

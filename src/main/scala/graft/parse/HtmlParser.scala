@@ -196,9 +196,9 @@ object HtmlParser {
     val root = new Node("#fragment")
     val stack = scala.collection.mutable.ArrayBuffer[Node](root)
     val b = new TokenSink {
-      def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+      def startTag(name: String, attrs: scala.collection.Seq[(String, String)], selfClosing: Boolean): Unit = {
         val n = new Node(name)
-        attrs.foreach { case (k, v) => if (!n.has(k)) n.set(k, v) }
+        setAttrs(n, attrs)
         stack.last.append(n)
         if (!selfClosing && !VoidElems.contains(name)) stack += n
       }
@@ -222,7 +222,7 @@ object HtmlParser {
 
   /** Tokenizer event sink. */
   trait TokenSink {
-    def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit
+    def startTag(name: String, attrs: scala.collection.Seq[(String, String)], selfClosing: Boolean): Unit
     def endTag(name: String): Unit
     def text(t: String): Unit
   }
@@ -231,6 +231,15 @@ object HtmlParser {
     * core.py:1010-1012): pathological inputs stop growing the tree instead
     * of stalling an executor task. */
   val MaxNodes: Int = 2000000
+
+  /** Closure-free attr copy (a capturing lambda per start tag was
+    * measurable allocation — AllocProf/JFR). */
+  private def setAttrs(n: Node, attrs: scala.collection.Seq[(String, String)]): Unit = {
+    if (attrs.nonEmpty) {
+      val it = attrs.iterator
+      while (it.hasNext) { val kv = it.next(); if (!n.has(kv._1)) n.set(kv._1, kv._2) }
+    }
+  }
 
   private final class Builder extends TokenSink {
     val root = new Node("html")
@@ -255,16 +264,16 @@ object HtmlParser {
       if (head == null && !headClosed) { head = new Node("head"); root.append(head) }
     }
 
-    def startTag(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+    def startTag(name: String, attrs: scala.collection.Seq[(String, String)], selfClosing: Boolean): Unit = {
       name match {
         case "html" =>
           sawExplicitHtml = true
-          attrs.foreach { case (k, v) => if (!root.has(k)) root.set(k, v) }
+          setAttrs(root, attrs)
           return
         case "head" =>
           ensureHead()
           if (head != null && !stack.contains(head)) { popToRootLevel(); stack += head }
-          attrs.foreach { case (k, v) => if (head != null && !head.has(k)) head.set(k, v) }
+          if (head != null) setAttrs(head, attrs)
           return
         case "body" =>
           closeHead()
@@ -344,11 +353,11 @@ object HtmlParser {
       }
     }
 
-    private def openIn(name: String, attrs: Seq[(String, String)], selfClosing: Boolean): Unit = {
+    private def openIn(name: String, attrs: scala.collection.Seq[(String, String)], selfClosing: Boolean): Unit = {
       nodeCount += 1
       if (nodeCount > MaxNodes) return // budget exhausted: drop further elements
       val n = new Node(name)
-      attrs.foreach { case (k, v) => if (!n.has(k)) n.set(k, v) }
+      setAttrs(n, attrs)
       cur.append(n)
       if (!selfClosing && !VoidElems.contains(name)) stack += n
     }
@@ -483,7 +492,7 @@ object HtmlParser {
   }
 
   /** Parse a start tag beginning after '<'. Returns (name, attrs, selfClosing, nextIndex). */
-  private def parseTag(s: String, from: Int): (String, Seq[(String, String)], Boolean, Int) = {
+  private def parseTag(s: String, from: Int): (String, scala.collection.Seq[(String, String)], Boolean, Int) = {
     val n = s.length
     var i = from
     val nameStart = i
@@ -535,6 +544,6 @@ object HtmlParser {
           }
       }
     }
-    (name, if (attrs == null) Nil else attrs.toSeq, selfClosing, i)
+    (name, if (attrs == null) Nil else attrs, selfClosing, i)
   }
 }

@@ -101,7 +101,7 @@ object TextUtils {
   def lineProcessing(lineIn: String): String = {
     var line = lineIn
       .replace("&#13;", "\r").replace("&#10;", "\n").replace("&nbsp;", " ")
-    line = trim(removeControlCharacters(LinesTrimming.matcher(line).replaceAll(" ")))
+    line = trim(removeControlCharacters(Re.m(LinesTrimming, line).replaceAll(" ")))
     if (line.isEmpty || line.forall(isPyWhitespace)) null else line
   }
 
@@ -113,6 +113,18 @@ object TextUtils {
 
   /** Python str.splitlines() boundaries. */
   def splitLines(s: String): List[String] = {
+    // fast path: no line-break characters (the common case for element
+    // text) — one cons cell instead of builder + copies
+    var fi = 0
+    var hasBreak = false
+    while (!hasBreak && fi < s.length) {
+      val c = s.charAt(fi)
+      if (c == '\n' || c == '\r' || c == '\u000b' || c == '\u000c' ||
+        c == '\u001c' || c == '\u001d' || c == '\u001e' || c == '\u0085' ||
+        c == '\u2028' || c == '\u2029') hasBreak = true
+      fi += 1
+    }
+    if (!hasBreak) return s :: Nil
     val out = scala.collection.mutable.ListBuffer.empty[String]
     val sb = new java.lang.StringBuilder
     var i = 0
@@ -149,12 +161,12 @@ object TextUtils {
     * pattern's trailing $ anchors the end, so lookingAt() reproduces it. */
   def textFilterString(testtext: String): Boolean = {
     if (!textCharsTest(testtext)) return true
-    splitLines(testtext).exists(l => ReFilter.matcher(l).lookingAt())
+    splitLines(testtext).exists(l => Re.m(ReFilter, l).lookingAt())
   }
 
   /** IMAGE_EXTENSION (utils.py:51). */
   private val ImageExtension = Pattern.compile("[^\\s]+\\.(avif|bmp|gif|hei[cf]|jpe?g|png|webp)(\\b|$)")
-  def isImageFile(src: String): Boolean = src != null && ImageExtension.matcher(src).find()
+  def isImageFile(src: String): Boolean = src != null && Re.m(ImageExtension, src).find()
 
   /** `uniquify_list` (utils.py:353-360). */
   def uniquify[T](l: Seq[T]): List[T] = {
@@ -220,5 +232,23 @@ object TextUtils {
       if (sequenceMatcherRatio(r, n) < threshold) return false
     }
     true
+  }
+}
+
+/** Thread-local reusable regex matchers: `Pattern.matcher` allocates a
+  * Matcher + groups int[] per call, which JFR showed as the single largest
+  * allocation site in the metadata/text paths (the kernel is memory-
+  * bandwidth-bound at wide parallelism, so per-doc allocation is the scaling
+  * currency). `Matcher.reset(input)` reuses the arrays; tasks are
+  * single-threaded, and every use here completes before the pattern's next
+  * use, so one matcher per (thread, pattern) is safe. */
+object Re {
+  private val tl: ThreadLocal[java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]] =
+    ThreadLocal.withInitial(() => new java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]())
+  def m(p: Pattern, s: CharSequence): java.util.regex.Matcher = {
+    val map = tl.get()
+    var mm = map.get(p)
+    if (mm == null) { mm = p.matcher(""); map.put(p, mm) }
+    mm.reset(s)
   }
 }

@@ -22,7 +22,7 @@ object ScaleLevel {
     spark.sparkContext.setLogLevel("ERROR")
     val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
     val docs = DocsTables.docsTableScaled(spark, sfDir, factor)
-      .repartition(cpus * 4, org.apache.spark.sql.functions.col("doc_id")).persist()
+      .repartition(cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "4").toInt, org.apache.spark.sql.functions.col("doc_id")).persist()
     docs.count()
     ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count() // warmup
     (1 to runs).foreach { _ =>
