@@ -1,18 +1,36 @@
 package graft
 
-import graft.extract.{ExtractorOptions, TrafConfig}
-import graft.spark.{DocsTables, ExtractPipeline}
 import org.apache.spark.sql.SparkSession
 
 /** Benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *  "extract":{"docs":N,"docs_per_sec":...},
-  *  "scaling":{"cpus_lo":8,"cpus_hi":32,"docs_per_sec_lo":...,
-  *             "docs_per_sec_hi":...,"efficiency":...}}
+  *  "scaling":{"cpus_lo":4,"cpus_hi":16,"docs_per_sec_lo":...,
+  *             "docs_per_sec_hi":...,"efficiency":...,"legs":[...]}}
   *
   * The scaling block is the sandbox evidence for the north rule's N vs 4N
   * criterion (BASELINE.md): the identical extraction job over identical
-  * input at local[8] vs local[32]; efficiency = tput_hi / (4 * tput_lo). */
+  * input at 4 vs 16 cores.
+  *
+  * Measurement design (r3, after the r2 driver snapshot published a
+  * collapsed outlier as the headline):
+  *  - each level runs in a CHILD JVM pinned with `taskset -c 0-(N-1)`, so
+  *    GC/JIT/OS threads are confined to the same N cores as the Spark
+  *    workers — the honest N-core-executor emulation (in-JVM local[N] on a
+  *    32-core host lets the idle cores assist GC, inflating small-N
+  *    throughput and understating scaling efficiency; the JVM sizes its GC
+  *    thread pool from the affinity mask);
+  *  - levels are interleaved (4,16,32,32,16,4), two timed runs per child →
+  *    4 legs per level; host noise minutes apart hits levels evenly;
+  *  - collapse detection: per-doc kernel wall (sum(kernel_us)/docs) is flat
+  *    across levels when the host is quiet (≤ ~1.3× at 16 lanes from memory-
+  *    bandwidth contention — see BASELINE.md); a leg whose kernel µs/doc
+  *    exceeds 2× the quietest leg was descheduled by external load and is
+  *    rejected. A level left with no clean leg is re-run (up to 2 extra
+  *    children) instead of publishing the outlier;
+  *  - every leg lands in the JSON (`legs`) so an outlier self-identifies.
+  * Falls back to in-process local[N] sessions if child spawn/taskset fails
+  * (flagged `"pinned":false`). */
 object Bench {
 
   private def session(cpus: Int): SparkSession = {
@@ -27,34 +45,70 @@ object Bench {
     s
   }
 
-  private def extractionRun(spark: SparkSession, sfDir: String, factor: Int): (Long, Double, Double) = {
-    val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
-    // scaled table is already hash(doc_id)-partitioned at defaultParallelism;
-    // the kernel is one map stage — the honest scaling measurement (the skew
-    // router has its own correctness test in SparkSpec).
-    // Input is cached and pre-partitioned into 4 waves per core before the
-    // timed region (the measurement targets the extraction map stage, not
-    // page synthesis); JIT/GC warmup pass + best-of-2 tames JVM variance.
-    val cpus = spark.sparkContext.defaultParallelism
-    val docs = DocsTables.docsTableScaled(spark, sfDir, factor)
-      .repartition(cpus * 4, org.apache.spark.sql.functions.col("doc_id"))
-      .persist()
-    docs.count() // materialize outside the timed region
-    ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count() // warmup
-    val runs = (1 to 2).map { _ =>
+  /** One measured leg of the scaling experiment. */
+  final case class Leg(cpus: Int, docs: Long, sec: Double, tput: Double,
+      kernelCoreSec: Double, pinned: Boolean) {
+    def kernelUsPerDoc: Double = if (docs == 0) Double.NaN else kernelCoreSec * 1e6 / docs
+  }
+
+  /** Spawn `taskset -c 0-(cpus-1) java … graft.tools.ScaleLevel cpus` and
+    * parse its LEVEL lines. Returns Nil on any failure. */
+  private def runPinnedLevel(cpus: Int, runs: Int, sfDir: String, factor: Int): Seq[Leg] = {
+    try {
+      val javaBin = System.getProperty("java.home") + "/bin/java"
+      val cp = System.getProperty("java.class.path")
+      val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean.getInputArguments
+      val keep = new scala.collection.mutable.ArrayBuffer[String]
+      val it = jvmArgs.iterator()
+      while (it.hasNext) {
+        val a = it.next()
+        if (a == "--add-opens") { if (it.hasNext) { keep += a; keep += it.next() } }
+        else if (a.startsWith("--add-opens=") || a.startsWith("-Xss") ||
+          a.startsWith("-Dfile.encoding") || a.startsWith("-Dsun.jnu.encoding")) keep += a
+      }
+      val mem = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "24g")
+      val cmd = Seq("taskset", "-c", s"0-${cpus - 1}", javaBin) ++ keep ++ Seq(
+        s"-Xmx$mem", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.tools.ScaleLevel", cpus.toString)
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.environment().put("SPARK_GRAFT_SF_DIR", sfDir)
+      pb.environment().put("SPARK_GRAFT_FACTOR", factor.toString)
+      pb.environment().put("SPARK_GRAFT_RUNS", runs.toString)
+      pb.redirectErrorStream(true)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8)
+      proc.waitFor()
+      val LevelLine =
+        """LEVEL cpus=(\d+) docs=(\d+) sec=([\d.]+) tput=([\d.]+) scan_sec=([\d.]+) kernel_core_sec=([\d.]+)""".r
+      LevelLine.findAllMatchIn(out).map { m =>
+        Leg(m.group(1).toInt, m.group(2).toLong, m.group(3).toDouble,
+          m.group(4).toDouble, m.group(6).toDouble, pinned = true)
+      }.toSeq
+    } catch { case _: Throwable => Nil }
+  }
+
+  /** In-process fallback (no taskset): one warmed session per level. */
+  private def runInProcessLevel(cpus: Int, runs: Int, sfDir: String, factor: Int): Seq[Leg] = {
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    val spark = session(cpus)
+    val opts = graft.extract.ExtractorOptions(
+      config = graft.extract.TrafConfig.Zero, fast = true, images = true)
+    val docs = graft.spark.DocsTables.docsTableScaled(spark, sfDir, factor)
+      .repartition(cpus * 4, col("doc_id")).persist()
+    docs.count()
+    graft.spark.ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count()
+    val legs = (1 to runs).map { _ =>
       val t0 = System.nanoTime()
-      // sum(kernel_us): per-doc CPU time inside the kernel, summed on the
-      // executors — constant per doc across parallelism levels is direct
-      // evidence the plan adds no per-level overhead (any wall-clock
-      // efficiency gap below 1.0 is then host contention, not the pipeline)
-      val agg = ExtractPipeline.extractDocs(docs, opts).filter(_.ok)
-        .groupBy().agg(org.apache.spark.sql.functions.count(
-          org.apache.spark.sql.functions.lit(1)),
-          org.apache.spark.sql.functions.sum("kernel_us")).collect()(0)
-      (agg.getLong(0), (System.nanoTime() - t0) / 1e9, agg.getLong(1) / 1e6)
+      val agg = graft.spark.ExtractPipeline.extractDocs(docs, opts).filter(_.ok)
+        .groupBy().agg(count(lit(1)), sum("kernel_us")).collect()(0)
+      val t = (System.nanoTime() - t0) / 1e9
+      Leg(cpus, agg.getLong(0), t, agg.getLong(0) / t, agg.getLong(1) / 1e6, pinned = false)
     }
     docs.unpersist()
-    runs.minBy(_._2)
+    spark.stop()
+    System.gc(); Thread.sleep(500)
+    legs
   }
 
   def main(args: Array[String]): Unit = {
@@ -64,8 +118,8 @@ object Bench {
     var spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed warmup at sf0.001: plan codegen + broadcast init otherwise
-      // lands entirely on the alphabetically-first query (was 17s of the
-      // 0.9s-warm ann_cosine); the timed run below is steady-state
+      // lands entirely on the alphabetically-first query; the timed run
+      // below is steady-state
       try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
@@ -79,51 +133,76 @@ object Bench {
     val nDocsBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
     val factor = math.max(1, (400000 / math.max(1L, nDocsBase)).toInt)
     spark.stop()
+    System.gc(); Thread.sleep(500)
 
-    // scaling evidence: identical job, identical input, at N and 4N threads,
-    // EACH in a fresh JVM session (no GC/JIT debris from the query suite —
-    // the headline extract number IS the full-width scaling run, so the two
-    // blocks can't disagree). Primary pair is local[4] vs local[16]; at full
-    // host width (32) worker threads compete with GC/OS threads on the
-    // 32-core box, so the 4->32 ratio understates the pipeline's scaling.
-    // two interleaved passes per level, best time kept: host noise (shared
-    // box, GC debris, thermal state) hits minutes-apart measurements
-    // one-sidedly; interleaving + best-of keeps the comparison fair
-    val levels = Seq(4, 16, 32, 4, 16, 32).map { c =>
-      spark = session(c)
-      val (n, t, kernelCoreSec) = extractionRun(spark, sfDir, factor)
-      spark.stop()
-      System.gc(); Thread.sleep(1000)
-      (c, n, t, n / t, kernelCoreSec)
+    val runner: (Int, Int) => Seq[Leg] = { (c, runs) =>
+      val pinned = runPinnedLevel(c, runs, sfDir, factor)
+      if (pinned.nonEmpty) pinned else runInProcessLevel(c, runs, sfDir, factor)
     }
-    def best(c: Int) = levels.filter(_._1 == c).minBy(_._3)
-    val lo = best(4)
-    val hi = best(16)
-    val full = best(32)
-    val efficiency = hi._4 / ((hi._1.toDouble / lo._1) * lo._4)
-    val efficiency32 = full._4 / ((full._1.toDouble / lo._1) * lo._4)
-    // pipeline-attributable efficiency: the per-doc kernel CPU time (pure
-    // compute, no Spark overhead) inflates as more vCPUs go busy — separate
-    // pinned JVMs show the same inflation, so it is hardware/hypervisor
-    // contention of this sandbox, not the pipeline. Scaling on dedicated
-    // cluster nodes tracks the CPU-adjusted number; both are reported.
-    val cpuInflHi = (hi._5 / hi._2) / (lo._5 / lo._2)
-    val cpuInfl32 = (full._5 / full._2) / (lo._5 / lo._2)
+
+    val loC = 4
+    val hiC = 16
+    val fullC = 32
+    val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
+    // palindrome interleave: drift in host load hits the levels evenly
+    Seq(loC, hiC, fullC, fullC, hiC, loC).foreach { c => legs ++= runner(c, 2) }
+
+    def clean(ls: Seq[Leg]): Seq[Leg] = {
+      if (ls.isEmpty) return ls
+      val ref = ls.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
+      ls.filter(l => l.kernelUsPerDoc <= 2 * ref)
+    }
+    // collapse re-runs: a level with no leg whose kernel µs/doc is within 2x
+    // of the quietest leg anywhere was hit by external load — measure again
+    var extra = 0
+    Seq(loC, hiC, fullC).foreach { c =>
+      var attempts = 0
+      while (attempts < 2 && {
+        val ref = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
+        !legs.exists(l => l.cpus == c && l.kernelUsPerDoc <= 2 * ref)
+      }) { legs ++= runner(c, 2); attempts += 1; extra += 1 }
+    }
+
+    val refUs = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
+    def best(c: Int): Leg = {
+      val of = legs.filter(_.cpus == c)
+      val ok = of.filter(_.kernelUsPerDoc <= 2 * refUs)
+      (if (ok.nonEmpty) ok else of).maxBy(_.tput)
+    }
+    val lo = best(loC)
+    val hi = best(hiC)
+    val full = best(fullC)
+    val efficiency = hi.tput / ((hiC.toDouble / loC) * lo.tput)
+    val efficiency8x = full.tput / ((fullC.toDouble / loC) * lo.tput)
+    // pipeline-attributable efficiency: per-doc kernel wall inflates as the
+    // host's shared memory subsystem saturates (measured: ~84 GB/s ceiling,
+    // per-thread bandwidth drops 2.5x from 4 to 16 busy cores — BASELINE.md);
+    // a multi-node cluster adds memory channels with nodes, so dedicated
+    // clusters track the CPU-adjusted number. Both are reported.
+    val cpuInflHi = hi.kernelUsPerDoc / lo.kernelUsPerDoc
+    val cpuInfl32 = full.kernelUsPerDoc / lo.kernelUsPerDoc
     val effAdj = efficiency * cpuInflHi
-    val effAdj32 = efficiency32 * cpuInfl32
+    val effAdj32 = efficiency8x * cpuInfl32
+
+    val legsJson = legs.map { l =>
+      f"""{"cpus":${l.cpus},"sec":${l.sec}%.3f,"tput":${l.tput}%.1f,""" +
+        f""""kernel_us_per_doc":${l.kernelUsPerDoc}%.1f,"pinned":${l.pinned}}"""
+    }.mkString("[", ",", "]")
 
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
-        f""""extract":{"docs":${full._2},"sec":${full._3}%.3f,"docs_per_sec":${full._4}%.1f},""" +
-        f""""scaling":{"cpus_lo":${lo._1},"cpus_hi":${hi._1},"docs":${lo._2},""" +
-        f""""sec_lo":${lo._3}%.3f,"sec_hi":${hi._3}%.3f,"docs_per_sec_lo":${lo._4}%.1f,""" +
-        f""""docs_per_sec_hi":${hi._4}%.1f,"efficiency":$efficiency%.3f,""" +
-        f""""sec_32":${full._3}%.3f,"docs_per_sec_32":${full._4}%.1f,"efficiency_8x":$efficiency32%.3f,""" +
-        f""""kernel_us_per_doc_lo":${lo._5 * 1e6 / lo._2}%.1f,""" +
-        f""""kernel_us_per_doc_hi":${hi._5 * 1e6 / hi._2}%.1f,""" +
-        f""""kernel_us_per_doc_32":${full._5 * 1e6 / full._2}%.1f,""" +
+        f""""extract":{"docs":${full.docs},"sec":${full.sec}%.3f,"docs_per_sec":${full.tput}%.1f},""" +
+        f""""scaling":{"cpus_lo":$loC,"cpus_hi":$hiC,"docs":${lo.docs},""" +
+        f""""sec_lo":${lo.sec}%.3f,"sec_hi":${hi.sec}%.3f,"docs_per_sec_lo":${lo.tput}%.1f,""" +
+        f""""docs_per_sec_hi":${hi.tput}%.1f,"efficiency":$efficiency%.3f,""" +
+        f""""sec_32":${full.sec}%.3f,"docs_per_sec_32":${full.tput}%.1f,"efficiency_8x":$efficiency8x%.3f,""" +
+        f""""kernel_us_per_doc_lo":${lo.kernelUsPerDoc}%.1f,""" +
+        f""""kernel_us_per_doc_hi":${hi.kernelUsPerDoc}%.1f,""" +
+        f""""kernel_us_per_doc_32":${full.kernelUsPerDoc}%.1f,""" +
         f""""efficiency_cpu_adjusted":$effAdj%.3f,""" +
-        f""""efficiency_cpu_adjusted_8x":$effAdj32%.3f}}"""
+        f""""efficiency_cpu_adjusted_8x":$effAdj32%.3f,""" +
+        f""""pinned":${lo.pinned && hi.pinned},"collapse_reruns":$extra,""" +
+        f""""legs":$legsJson}}"""
     println(json)
     // also land the line in a file: the driver's stdout parse drowns in sbt
     // log noise otherwise (BENCH_r01 "parsed": null)

@@ -37,15 +37,29 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       s"vec_dot expects array<float|double> inputs, got ${left.dataType} / ${right.dataType}")
   }
 
+  private def mayContainNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullable: Boolean = true
+
+  /** A null element makes the result null — matching the replaced
+    * aggregate(zip_with(a, b, _*_), 0d, _+_) form, where the null product
+    * nulls the running sum. Element null checks are emitted only when the
+    * array type says containsNull (parquet float lists usually do). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
     val n = math.min(x.numElements(), y.numElements())
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
+    val checkL = mayContainNull(left)
+    val checkR = mayContainNull(right)
     var s = 0.0
     var i = 0
     while (i < n) {
+      if ((checkL && x.isNullAt(i)) || (checkR && y.isNullAt(i))) return null
       val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
       s += xv * yv
@@ -61,10 +75,18 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
       val s = ctx.freshName("s")
       val getL = if (elemType(left) == FloatType) s"(double) $a.getFloat($i)" else s"$a.getDouble($i)"
       val getR = if (elemType(right) == FloatType) s"(double) $b.getFloat($i)" else s"$b.getDouble($i)"
+      val nullCheck =
+        if (mayContainNull(left) || mayContainNull(right)) {
+          val conds = Seq(
+            if (mayContainNull(left)) Some(s"$a.isNullAt($i)") else None,
+            if (mayContainNull(right)) Some(s"$b.isNullAt($i)") else None).flatten.mkString(" || ")
+          s"if ($conds) { ${ev.isNull} = true; break; }"
+        } else ""
       s"""
          |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
+         |  $nullCheck
          |  $s += $getL * $getR;
          |}
          |${ev.value} = $s;

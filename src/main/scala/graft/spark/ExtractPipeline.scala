@@ -139,8 +139,20 @@ object ExtractPipeline {
     if (!new java.io.File(s"$stagedDir/_SUCCESS").exists()) {
       input.withColumn("_bucket", pmod(hash(col("doc_id")), lit(buckets)))
         .write.mode("overwrite").partitionBy("_bucket").parquet(stagedDir)
-      java.nio.file.Files.writeString(bucketsMarker, buckets.toString)
+      // tmp + atomic rename: a crash between the staging write and a plain
+      // marker write would leave a resumable staged table whose next run
+      // throws NoSuchFileException instead of a diagnosable error
+      val tmpMarker = java.nio.file.Paths.get(s"$outDir/_commits/._buckets.tmp")
+      java.nio.file.Files.writeString(tmpMarker, buckets.toString)
+      java.nio.file.Files.move(tmpMarker, bucketsMarker,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     } else {
+      if (!java.nio.file.Files.exists(bucketsMarker))
+        throw new IllegalStateException(
+          s"commit log at $outDir has a staged table but no _buckets marker " +
+            "(crash between staging and marker write?) — delete " +
+            s"$stagedDir to restage, or restore _commits/_buckets")
       val staged = java.nio.file.Files.readString(bucketsMarker).trim.toInt
       require(staged == buckets,
         s"commit log at $outDir was staged with buckets=$staged, got buckets=$buckets")

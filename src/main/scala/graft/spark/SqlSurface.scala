@@ -32,10 +32,8 @@ object SqlSurface {
     registerVecDot(spark) // vec_dot + minhash128
     // kernel as SQL functions (opaque per-row transforms -> UDFs)
     val opts = ExtractorOptions(config = TrafConfig.Zero, fast = true, images = true)
-    spark.udf.register("extract_text", (html: String) => {
-      val r = Extraction.extract(html, null, opts)
-      if (r == null) null else r
-    })
+    spark.udf.register("extract_text",
+      (html: String) => Extraction.extract(html, null, opts))
     spark.udf.register("extract_spans", (html: String) => {
       val d = Extraction.bareExtraction(html, null, opts)
       if (d == null) Seq.empty[Span] else d.spans
@@ -53,5 +51,7 @@ object SqlSurface {
       "vec_dot", exprs => graft.functions.VecDot(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash128", exprs => graft.functions.MinHash128(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
   }
 }

@@ -126,17 +126,21 @@ object TextOps {
       | FROM documents)""".stripMargin
 
   /** Exact dedup over the duplicated corpus (documents ∪ documents).
-    * 100 TB plan: the shuffle key is two independent 64-bit hashes of the
+    * 100 TB plan: the shuffle key is two INDEPENDENT 64-bit hashes of the
     * text (16 bytes/row), never the text itself — a (h1,h2) bucket equals the
     * exact-text equality class up to a ~2^-128 per-pair collision, so the
     * result is identical to grouping by text while the shuffle stays
-    * key-sized. Map-side partial agg still applies (one shuffle total). */
+    * key-sized. h2 chains the seed BEFORE the string (xxhash64(1, text)):
+    * the string hash then runs from a different state, making h2 independent
+    * of h1 — the suffix form xxhash64(text, 1) is hashInt(1, h1), a bijection
+    * of h1 that adds no entropy (collision odds would stay ~n²/2^65 at
+    * 10^10 docs). Map-side partial agg still applies (one shuffle total). */
   def dedupExact(docs: DataFrame): DataFrame = {
     val corpus = docs.select(col("doc_id"), col("text"))
       .unionAll(docs.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
     corpus
       .select(col("doc_id"),
-        xxhash64(col("text")).as("h1"), xxhash64(col("text"), lit(1)).as("h2"))
+        xxhash64(col("text")).as("h1"), xxhash64(lit(1), col("text")).as("h2"))
       .groupBy(col("h1"), col("h2"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
@@ -193,6 +197,16 @@ object TextOps {
     * collided in a dropped bucket is lost — acceptable recall trade at scale
     * (a j≥0.8 pair collides in ~13 of 32 bands in expectation); keep 0 for
     * the exact oracle path. */
+  /** Previous invocation's persisted signature table — released on the next
+    * call (bench loops invoke dedupMinhash repeatedly; never unpersisting
+    * leaked cached blocks across runs). Callers needing deterministic
+    * release can call releaseCaches() after their action completes. */
+  @volatile private var lastSigs: DataFrame = null
+
+  def releaseCaches(): Unit = synchronized {
+    if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
+  }
+
   def dedupMinhash(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = 0): DataFrame = {
     SqlSurface.registerVecDot(docs.sparkSession)
@@ -210,6 +224,7 @@ object TextOps {
       .select(col("doc_id"), col("sh").as("shset"),
         call_function("minhash128", col("sh")).as("mh"))
       .persist()
+    synchronized { if (lastSigs != null) lastSigs.unpersist(false); lastSigs = sigs }
     val allBands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
@@ -259,13 +274,16 @@ object TextOps {
 
   // --------------------------------------------------------------- simhash
 
-  /** SimHash fingerprints via the kernel's 64-bit Charikar hash (rows-only
-    * check — blake2b is not available to the SQL oracle). */
+  /** SimHash fingerprints via the native `simhash64` expression (hex like
+    * content_fingerprint; rows-only check — blake2b is not available to the
+    * SQL oracle). */
   def simhashFingerprints(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    docs.select(col("doc_id").cast("long"), col("text")).as[(Long, String)]
-      .map { case (id, text) => (id, graft.hash.SimHash.contentFingerprint(text)) }
-      .toDF("doc_id", "fingerprint")
+    SqlSurface.registerVecDot(spark)
+    val fp = call_function("simhash64", col("text"))
+    // Long.toHexString semantics (content_fingerprint): no zero padding
+    docs.select(col("doc_id").cast("long").as("doc_id"),
+      when(fp === 0L, lit("0"))
+        .otherwise(regexp_replace(lower(hex(fp)), "^0+", "")).as("fingerprint"))
   }
 
   /** SimHash shaped for a SQL oracle: fingerprint the duplicated corpus
@@ -276,12 +294,13 @@ object TextOps {
     * (id, id+1000000, 0) — without being able to compute blake2b itself.
     * Map-only fingerprinting; the self-join keys on the 8-byte id. */
   def simhashPairs(spark: SparkSession, docs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val corpus = docs.select(col("doc_id").cast("long"), col("text"))
-      .unionAll(docs.select((col("doc_id") + 1000000L).cast("long"), col("text")))
-    val fps = corpus.as[(Long, String)]
-      .map { case (id, text) => (id, graft.hash.SimHash.createHash(text)) }
-      .toDF("doc_id", "fp")
+    SqlSurface.registerVecDot(spark)
+    val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+      .unionAll(docs.select((col("doc_id") + 1000000L).cast("long").as("doc_id"), col("text")))
+    // native simhash64 expression: the old typed .map deserialized every row
+    // (Deserialize/SerializeFromObject around an otherwise all-codegen plan)
+    val fps = corpus.select(col("doc_id"),
+      call_function("simhash64", col("text")).as("fp"))
     fps.filter(col("doc_id") < 1000000L).as("a")
       .join(fps.filter(col("doc_id") >= 1000000L).as("b"),
         col("a.doc_id") === col("b.doc_id") - 1000000L)
