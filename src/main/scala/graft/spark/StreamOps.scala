@@ -77,12 +77,20 @@ object StreamOps {
        |FROM sessions GROUP BY user_id, session_id""".stripMargin
 
   /** Streaming gap-session operator: `KeyValueGroupedDataset
-    * .flatMapGroupsWithState` with per-user open-session state. A session is
-    * EMITTED when a later event for the same user arrives past the gap
-    * (closing it); the per-user trailing session stays open in state.
-    * Batch parity (SparkSpec): streamed sessions == batch sessions minus
-    * each user's last. At scale, state is one small record per active user,
-    * keyed-partitioned by Spark's state store. */
+    * .flatMapGroupsWithState` with per-user open-session state and an
+    * EVENT-TIME timeout. A session is emitted when a later event for the
+    * same user arrives past the gap, OR when the watermark passes the
+    * session end + gap (the idle-session flush: a user's trailing session no
+    * longer needs a successor event to be emitted). The watermark delay
+    * equals the gap, so any event that could still extend an open session is
+    * admitted, and the timeout timestamp (end + gap) is always ahead of the
+    * watermark. Events later than the watermark delay are dropped by the
+    * watermark (the documented out-of-order bound: within one micro-batch
+    * events are sorted by event time; across batches, ordering is bounded by
+    * the watermark). At scale, state is one small record per active user,
+    * keyed-partitioned by Spark's state store; rows.toSeq buffers one user's
+    * events within one micro-batch (bounded by per-user event rate x trigger
+    * interval, not by history). */
   final case class SessionState(startS: Long, endS: Long, n: Long, sum: BigDecimal)
   final case class SessionOut(user_id: Long, n_events: Long, value_sum: Double,
       start_s: Long, end_s: Long)
@@ -92,27 +100,40 @@ object StreamOps {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
     val typed = events
       .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$SessionGapSec seconds")
       .select(col("user_id").cast("long"), col("event_id").cast("long"),
-        col("ts").cast("long").as("ts_s"), col("value").cast("string"))
-      .as[(Long, Long, Long, String)]
+        col("ts"), col("value").cast("string"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
     typed.groupByKey(_._1)
       .flatMapGroupsWithState[SessionState, SessionOut](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
         case (user, rows, state: GroupState[SessionState]) =>
-          // event-time order within the micro-batch (bounded replay => all rows)
-          val sorted = rows.toSeq.sortBy(r => (r._3, r._2))
           val out = scala.collection.mutable.ListBuffer.empty[SessionOut]
           var cur = state.getOption.orNull
-          sorted.foreach { case (_, _, tsS, valueStr) =>
-            val v = (if (valueStr == null) BigDecimal(0) else BigDecimal(valueStr))
-              .setScale(2, BigDecimal.RoundingMode.HALF_UP)
-            if (cur == null) cur = SessionState(tsS, tsS, 1, v)
-            else if (tsS - cur.endS > SessionGapSec) {
+          if (state.hasTimedOut) {
+            // watermark passed end + gap: no admissible event can extend it
+            if (cur != null)
               out += SessionOut(user, cur.n, cur.sum.toDouble, cur.startS, cur.endS)
-              cur = SessionState(tsS, tsS, 1, v)
-            } else cur = SessionState(cur.startS, tsS, cur.n + 1, cur.sum + v)
+            state.remove()
+          } else {
+            // event-time order within the micro-batch
+            val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
+            sorted.foreach { case (_, _, ts, valueStr) =>
+              val tsS = ts.getTime / 1000 // floor seconds, like cast("long")
+              val v = (if (valueStr == null) BigDecimal(0) else BigDecimal(valueStr))
+                .setScale(2, BigDecimal.RoundingMode.HALF_UP)
+              if (cur == null) cur = SessionState(tsS, tsS, 1, v)
+              else if (tsS - cur.endS > SessionGapSec) {
+                out += SessionOut(user, cur.n, cur.sum.toDouble, cur.startS, cur.endS)
+                cur = SessionState(tsS, tsS, 1, v)
+              } else cur = SessionState(cur.startS, tsS, cur.n + 1, cur.sum + v)
+            }
+            if (cur != null) {
+              state.update(cur)
+              // flush once the watermark proves no in-gap successor can come
+              state.setTimeoutTimestamp((cur.endS + SessionGapSec) * 1000 + 999)
+            }
           }
-          if (cur != null) state.update(cur)
           out.iterator
       }
   }

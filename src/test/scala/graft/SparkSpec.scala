@@ -90,6 +90,64 @@ class SparkSpec extends AnyFunSuite {
 
   private def ujsonLite(s: String): String = s
 
+  test("commit log: crash between bucket write and manifest rename -> exactly-once rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-crash").toString
+    val input = DocsTables.docsTable(spark, sf)
+    ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 4)
+    // simulate the crash window: bucket 1's data landed but the atomic
+    // manifest rename never happened
+    assert(new java.io.File(s"$dir/_commits/bucket-1.json").delete())
+    // plant a stale marker inside the bucket dir: mode("overwrite") must
+    // clear the whole directory, proving the rewrite is exactly-once (no
+    // stale part-files from the crashed attempt can survive)
+    val stale = new java.io.File(s"$dir/bucket-1/STALE_FROM_CRASHED_ATTEMPT")
+    java.nio.file.Files.writeString(stale.toPath, "junk")
+    val rewritten = ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 4)
+    assert(rewritten == Seq(s"$dir/bucket-1"), rewritten)
+    assert(!stale.exists(), "overwrite did not clear the crashed attempt's files")
+    assert(new java.io.File(s"$dir/_commits/bucket-1.json").exists())
+    // exactly-once: total output equals input, no duplicated bucket rows
+    assert(spark.read.parquet(s"$dir/bucket-*").count() == input.count())
+    assert(spark.read.parquet(s"$dir/bucket-*").select("doc_id").distinct().count() == input.count())
+  }
+
+  test("commit log: staged table without _buckets marker fails diagnosably") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-marker").toString
+    val input = DocsTables.docsTable(spark, sf)
+    ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 2)
+    assert(new java.io.File(s"$dir/_commits/_buckets").delete())
+    val e = intercept[IllegalStateException] {
+      ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 2)
+    }
+    assert(e.getMessage.contains("_buckets marker"))
+  }
+
+  test("dedupMinhash bucketCap: planted degenerate bucket is dropped, job stays linear") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // 2000 planted docs with IDENTICAL text: every band hashes them to one
+    // bucket, so uncapped candidate generation would be quadratic (~8M pairs
+    // with the corpus mutation); the cap must drop those buckets and leave
+    // the normal docs' near-dup pairs intact
+    val normal = DocsTables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val hot = spark.range(2000).select(
+      (col("id") + 500000L).as("doc_id"),
+      lit("exactly the same ten words of text in every planted document").as("text"))
+    val t0 = System.nanoTime()
+    val capped = graft.spark.TextOps.dedupMinhash(normal.unionAll(hot), bucketCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSec = (System.nanoTime() - t0) / 1e9
+    val normalOnly = graft.spark.TextOps.dedupMinhash(normal)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // every surviving pair involves only normal docs, and none were lost
+    assert(capped == normalOnly,
+      s"capped=${capped.size} normalOnly=${normalOnly.size}")
+    assert(capped.nonEmpty)
+    // linearity evidence: the capped run must complete in seconds — an
+    // uncapped degenerate bucket would generate ~256M candidate rows
+    assert(cappedSec < 120, s"capped run took ${cappedSec}s — cap not effective")
+  }
+
   test("media passthrough spans survive the kernel") {
     import spark.implicits._
     val out = ExtractPipeline.extractDocs(DocsTables.docsTable(spark, sf), opts)
@@ -247,19 +305,29 @@ class SparkSpec extends AnyFunSuite {
       .outputMode("append").start()
     try {
       q.processAllAvailable()
+      // advance the watermark past every trailing session's end + gap with
+      // sentinel far-future events (user -1): the first batch moves the
+      // watermark, the second lets the event-time timeouts fire — after
+      // which the idle-session flush must have emitted EVERY session
+      (1 to 2).foreach { i =>
+        events.orderBy(col("ts").desc).limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${30 * i} DAYS"))
+          .write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
       val streamed = spark.sql(
-        "SELECT user_id, n_events, value_sum, start_s, end_s FROM sessions_stream")
+        "SELECT user_id, n_events, value_sum, start_s, end_s FROM sessions_stream " +
+          "WHERE user_id >= 0")
         .collect().map(_.toSeq).toSet
-      // batch sessions minus each user's LAST (still open in streaming state)
+      // exact batch parity INCLUDING each user's last session (flushed by
+      // the event-time timeout, not by a successor event)
       val batch = graft.spark.StreamOps.eventSessions(events)
-      val lastPerUser = batch.groupBy(col("user_id"))
-        .agg(max(col("session_id")).as("session_id"))
-      val closed = batch.join(lastPerUser, Seq("user_id", "session_id"), "left_anti")
         .select(col("user_id"), col("n_events"), col("value_sum"), col("start_s"), col("end_s"))
         .collect().map(_.toSeq).toSet
-      assert(streamed == closed,
-        s"streamed=${streamed.size} closed-batch=${closed.size}; " +
-          s"onlyStream=${(streamed -- closed).take(2)} onlyBatch=${(closed -- streamed).take(2)}")
+      assert(streamed == batch,
+        s"streamed=${streamed.size} batch=${batch.size}; " +
+          s"onlyStream=${(streamed -- batch).take(2)} onlyBatch=${(batch -- streamed).take(2)}")
       assert(streamed.nonEmpty)
     } finally q.stop()
   }
