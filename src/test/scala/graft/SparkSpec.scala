@@ -192,6 +192,21 @@ class SparkSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: audio rows decode with real javax.sound to the expected params") {
+    import graft.spark.MultimodalOps
+    val rows = MultimodalOps.mediaTable(spark, sf)
+      .filter(_.media_kind == "audio").take(10)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      // RIFF/WAVE magic: the blob is a real WAV payload, not repurposed text
+      assert(m.blob(0) == 'R'.toByte && m.blob(1) == 'I'.toByte &&
+        m.blob(8) == 'W'.toByte, m.doc_id)
+      val (sr, ns) = MultimodalOps.decodeAudio(m.blob).get
+      assert(sr == MultimodalOps.audioSampleRate(m.doc_id), s"doc ${m.doc_id} rate")
+      assert(ns == MultimodalOps.audioNumSamples(m.doc_id).toLong, s"doc ${m.doc_id} frames")
+    }
+  }
+
   test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
     val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = graft.spark.TextOps.embeddingNearDup(emb, 0.3, cap = 500)
