@@ -63,6 +63,12 @@ final class AttrMap private (private var ks: Array[String], private var vs: Arra
   def copyAttrs(): AttrMap = new AttrMap(ks.clone(), vs.clone(), n)
 }
 
+object Node {
+  /** Reusable per-thread scratch for collectList (never escapes a call). */
+  private[dom] val scratch: ThreadLocal[ArrayBuffer[Node]] =
+    ThreadLocal.withInitial(() => new ArrayBuffer[Node](256))
+}
+
 final class Node(var tag: String) {
   var text: String = null
   var tail: String = null
@@ -250,7 +256,12 @@ final class Node(var tag: String) {
   }
 
   private def collectList(tags: Set[String], includeSelf: Boolean): List[Node] = {
-    val buf = ArrayBuffer.empty[Node]
+    // thread-local scratch: the walk itself never re-enters collectList, so
+    // one growable array per thread kills the per-call buffer + growth
+    // allocations; only the result's cons cells remain (AllocProf)
+    val buf = Node.scratch.get()
+    buf.clear() // defensive: also cleared on exit; a mid-walk throw (OOM,
+    // stack overflow) must not leak stale nodes into the next call
     def walk(n: Node): Unit = {
       if (tags == null || tags.contains(n.tag)) buf += n
       val cs = n.children
@@ -263,7 +274,11 @@ final class Node(var tag: String) {
       var i = 0
       while (i < cs.length) { walk(cs(i)); i += 1 }
     }
-    buf.toList
+    var out: List[Node] = Nil
+    var i = buf.length - 1
+    while (i >= 0) { out = buf(i) :: out; i -= 1 }
+    buf.clear()
+    out
   }
 
   /** First strict descendant with the tag, document order (lxml `find('.//t')`). */

@@ -407,7 +407,7 @@ object HtmlParser {
   private def tokenizeTo(s: String, b: TokenSink): Unit = {
     val n = s.length
     var i = 0
-    val text = new java.lang.StringBuilder
+    val text = new java.lang.StringBuilder(256)
     def flushText(): Unit = {
       if (text.length() > 0) { b.text(text.toString); text.setLength(0) }
     }
