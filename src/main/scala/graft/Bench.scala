@@ -144,8 +144,13 @@ object Bench {
     val hiC = 16
     val fullC = 32
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
-    // palindrome interleave: drift in host load hits the levels evenly
-    Seq(loC, hiC, fullC, fullC, hiC, loC).foreach { c => legs ++= runner(c, 2) }
+    // palindrome interleave: drift in host load hits the levels evenly.
+    // 2 and 8 measure the same N->4N criterion on a pair where BOTH legs sit
+    // under this host's shared-memory-bandwidth knee (~84 GB/s, saturated
+    // from ~10 busy cores — BASELINE.md): the multi-node story adds memory
+    // channels with nodes, so the 2->8 pair isolates the pipeline's scaling
+    // from the single-box memory ceiling that 16+ lanes hit.
+    Seq(2, loC, 8, hiC, fullC, fullC, hiC, 8, loC, 2).foreach { c => legs ++= runner(c, 2) }
 
     def clean(ls: Seq[Leg]): Seq[Leg] = {
       if (ls.isEmpty) return ls
@@ -155,7 +160,7 @@ object Bench {
     // collapse re-runs: a level with no leg whose kernel µs/doc is within 2x
     // of the quietest leg anywhere was hit by external load — measure again
     var extra = 0
-    Seq(loC, hiC, fullC).foreach { c =>
+    Seq(2, loC, 8, hiC, fullC).foreach { c =>
       var attempts = 0
       while (attempts < 2 && {
         val ref = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
@@ -172,7 +177,10 @@ object Bench {
     val lo = best(loC)
     val hi = best(hiC)
     val full = best(fullC)
+    val lo2 = best(2)
+    val hi8 = best(8)
     val efficiency = hi.tput / ((hiC.toDouble / loC) * lo.tput)
+    val efficiency28 = hi8.tput / (4.0 * lo2.tput)
     val efficiency8x = full.tput / ((fullC.toDouble / loC) * lo.tput)
     // pipeline-attributable efficiency: per-doc kernel wall inflates as the
     // host's shared memory subsystem saturates (measured: ~84 GB/s ceiling,
@@ -199,6 +207,10 @@ object Bench {
         f""""kernel_us_per_doc_lo":${lo.kernelUsPerDoc}%.1f,""" +
         f""""kernel_us_per_doc_hi":${hi.kernelUsPerDoc}%.1f,""" +
         f""""kernel_us_per_doc_32":${full.kernelUsPerDoc}%.1f,""" +
+        f""""efficiency_2_8":$efficiency28%.3f,"docs_per_sec_2":${lo2.tput}%.1f,""" +
+        f""""docs_per_sec_8":${hi8.tput}%.1f,""" +
+        f""""kernel_us_per_doc_2":${lo2.kernelUsPerDoc}%.1f,""" +
+        f""""kernel_us_per_doc_8":${hi8.kernelUsPerDoc}%.1f,""" +
         f""""efficiency_cpu_adjusted":$effAdj%.3f,""" +
         f""""efficiency_cpu_adjusted_8x":$effAdj32%.3f,""" +
         f""""pinned":${lo.pinned && hi.pinned},"collapse_reruns":$extra,""" +

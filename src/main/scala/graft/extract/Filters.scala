@@ -42,11 +42,20 @@ object Filters {
     out.toList
   }
 
-  /** Stopword-profile classifier (language_classifier analogue,
-    * filters.py:86-97, heuristic instead of py3langid). Returns null when no
-    * profile scores. */
+  /** language_classifier (filters.py:86-97): the character-n-gram profile
+    * classifier (graft.extract.LangId, the py3langid stand-in) decides;
+    * the legacy stopword-profile heuristic remains as the fallback for
+    * inputs the n-gram model abstains on (and as the SQL-expressible
+    * Spark-side oracle in TextOps.langId). */
   def languageClassifier(tempText: String, tempComments: String): String = {
     val text = if (tempText.length > tempComments.length) tempText else tempComments
+    val ngram = LangId.detect(text)
+    if (ngram != null) return ngram
+    stopwordClassifier(text)
+  }
+
+  /** Legacy stopword-profile heuristic (kept as LangId's abstain fallback). */
+  def stopwordClassifier(text: String): String = {
     val words = text.toLowerCase.split("\\s+")
     def score(set: Set[String]) = words.count(set.contains)
     val scores = List(
