@@ -73,6 +73,14 @@ object SparkEntry {
         .filter(col("rnk") <= 3)
         .select(col("c_mktsegment"), col("rnk"), col("o_orderkey"))
     }),
+    // --- skewed join + AQE skew-split: 80% of lineitem rows are remapped to
+    // one hot order key, so the sort-merge join's hot partition dwarfs the
+    // median; AQE (skewJoin.enabled) splits it at runtime — the plan shows
+    // `skew=true` on the join (SparkSpec asserts it; PLANS.md carries the
+    // shape). Runs in its own newSession() so the lowered skew thresholds
+    // (sized for test-scale data) and the disabled broadcast (forcing SMJ,
+    // as a 100 TB fact-fact join would be) leak into no other query.
+    "tpch_skew_revenue" -> ((s, dir) => tpchSkewRevenue(s, dir)),
     // --- relational surface: 3-way join + agg over the TPC-H-ish tables
     // (nation broadcast, lineitem->orders->customer shuffle joins on keys)
     "tpch_revenue" -> ((s, dir) => {
@@ -97,6 +105,41 @@ object SparkEntry {
   private def withLongCounts(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))
 
+  /** Skewed fact→dim join (see the `queries` entry comment). The hot key is
+    * the smallest order key — one tiny driver-side scalar read, the same
+    * shape as a dimension lookup. */
+  def tpchSkewRevenue(s: SparkSession, dir: String): DataFrame = {
+    val s2 = s.newSession()
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // thresholds sized for test-scale data; defaults (256 MB) target real
+    // clusters — the MECHANISM under test is identical
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    // the split re-shuffles nothing here (the join feeds a partial agg), but
+    // the planner's extra-shuffle heuristic is conservative — force it
+    s2.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "16KB")
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val li = s2.read.parquet(s"$dir/lineitem.parquet")
+    val o = s2.read.parquet(s"$dir/orders.parquet")
+    val hot = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
+    // a skewed reduce partition is split along MAPPER boundaries; the
+    // test-scale parquet is a single row group = one mapper holding every
+    // hot row (probed: perMapper=[0,..,515454,..,0]), which is unsplittable.
+    // Real inputs have many files/row groups; emulate that mapper
+    // plurality with a round-robin repartition of the fact side.
+    val fact = li.repartition(8).select(
+      when(col("l_orderkey") % 10 < 8, lit(hot)).otherwise(col("l_orderkey")).as("fk"),
+      col("l_extendedprice"))
+    fact.join(o, col("fk") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("l_extendedprice").cast("decimal(18,4)")).cast("double").as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .select(col("o_orderpriority"), col("revenue"), col("n_rows"))
+  }
+
   /** DuckDB oracle SQL per query (column names/types aligned with the Spark
     * outputs; "span_offset" avoids the OFFSET keyword). */
   def oracleSql: Map[String, String] = Map(
@@ -111,6 +154,18 @@ object SparkEntry {
         |     ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
         | FROM orders JOIN customer ON o_custkey = c_custkey
         |) WHERE rnk <= 3""".stripMargin,
+    "tpch_skew_revenue" ->
+      """WITH fact AS (
+        |  SELECT CASE WHEN l_orderkey % 10 < 8
+        |              THEN (SELECT min(o_orderkey) FROM orders)
+        |              ELSE l_orderkey END AS fk,
+        |         l_extendedprice
+        |  FROM lineitem)
+        |SELECT o_orderpriority,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_rows
+        |FROM fact JOIN orders ON fk = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "tpch_revenue" ->
       """SELECT n_name,
         | CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,

@@ -309,6 +309,16 @@ class SparkSpec extends AnyFunSuite {
     assert(ivf.size == brute.size)
   }
 
+  test("tpch_skew_revenue: AQE splits the hot partition (skew=true in the final plan)") {
+    val df = SparkEntry.tpchSkewRevenue(spark, "/root/testdata/sf0.01")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // AQE rewrites the plan at runtime; after the action the executed plan
+    // must carry the skew-split marker on the sort-merge join
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("skew=true"), s"no skew split in plan:\n${plan.take(2000)}")
+  }
+
   test("stateful streaming sessionization: parity with the batch window query") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-sessions").toString
