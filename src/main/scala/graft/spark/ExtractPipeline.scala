@@ -124,9 +124,14 @@ object ExtractPipeline {
     * its own `_bucket=N` partition directory, so total input scan volume is
     * 1x (the staging write) + 1/buckets per pass, never buckets× the raw
     * table. Each manifest records the pruned path + files actually read. */
+  /** `htmlBackup=true` mirrors the reference's HTML backup sink
+    * (cli_utils.py:161-170: `--backup-dir` persists the raw page next to the
+    * extraction output): each bucket's raw html payloads land in
+    * `html-bucket-N`, committed by the same atomic manifest as the
+    * extraction output. */
   def runWithCommitLog(spark: SparkSession, input: Dataset[DocRow],
       outDir: String, options: ExtractorOptions, buckets: Int = 8,
-      skewThresholdBytes: Int = 0): Seq[String] = {
+      skewThresholdBytes: Int = 0, htmlBackup: Boolean = false): Seq[String] = {
     import spark.implicits._
     val fs = new java.io.File(outDir)
     fs.mkdirs()
@@ -175,6 +180,12 @@ object ExtractPipeline {
           else extractDocs(part, options)
         val target = s"$outDir/bucket-$b"
         out.write.mode("overwrite").parquet(target)
+        if (htmlBackup) {
+          import spark.implicits._
+          part.map(r => (r.doc_id, htmlPayload(r.spans)))
+            .toDF("doc_id", "html")
+            .write.mode("overwrite").parquet(s"$outDir/html-bucket-$b")
+        }
         // metrics read back from the committed files (cheap: parquet footers)
         val stats = spark.read.parquet(target)
           .agg(count(lit(1)), coalesce(sum(when(col("ok"), 1L).otherwise(0L)), lit(0L)),

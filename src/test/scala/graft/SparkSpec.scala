@@ -111,6 +111,18 @@ class SparkSpec extends AnyFunSuite {
     assert(spark.read.parquet(s"$dir/bucket-*").select("doc_id").distinct().count() == input.count())
   }
 
+  test("commit log: HTML backup sink persists raw payloads bucket-aligned") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-backup").toString
+    val input = DocsTables.docsTable(spark, sf)
+    ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 2, htmlBackup = true)
+    val backup = spark.read.parquet(s"$dir/html-bucket-*")
+    assert(backup.count() == input.count())
+    // the backup is the RAW page, not the extraction: html markup survives
+    val sample = backup.filter(col("html").isNotNull).limit(1).collect()(0).getString(1)
+    assert(sample.contains("<html") && sample.contains("article-body"))
+  }
+
   test("commit log: staged table without _buckets marker fails diagnosably") {
     val dir = java.nio.file.Files.createTempDirectory("graft-marker").toString
     val input = DocsTables.docsTable(spark, sf)
