@@ -363,9 +363,10 @@ final class Node(var tag: String) {
     val n = new Node(tag)
     n.text = text; n.tail = tail
     if (attrs0 != null && attrs0.nonEmpty) n.attrs0 = attrs0.copyAttrs()
+    if (children.nonEmpty) n.children.sizeHint(children.length) // one alloc, no growth
     var i = 0
     while (i < children.length) {
-      val cc = children(i).deepCopy; cc.parent = n; cc.idx = n.children.length; n.children += cc
+      val cc = children(i).deepCopy; cc.parent = n; cc.idx = i; n.children += cc
       i += 1
     }
     n

@@ -17,7 +17,24 @@ object SimHash {
     * ~20 KB/doc of allocation, which matters because the kernel is
     * memory-bandwidth-bound at high core counts (AllocProf). */
   def sampleTokens(input: String, length: Int = 64): List[String] = {
-    val toks = new scala.collection.mutable.ArrayBuffer[String](64)
+    val buf = sampleTokensBuf(input, length)
+    var out = List.empty[String]
+    var t = buf.length - 1
+    while (t >= 0) { out = buf(t) :: out; t -= 1 }
+    out
+  }
+
+  private val tokScratch = new ThreadLocal[scala.collection.mutable.ArrayBuffer[String]] {
+    override def initialValue() = new scala.collection.mutable.ArrayBuffer[String](128)
+  }
+
+  /** Internal buffer-returning variant (thread-local scratch, valid until
+    * the next call on the same thread) — createHash/generateBowHash iterate
+    * it directly, skipping the per-token cons cells (AllocProf). */
+  private[hash] def sampleTokensBuf(input: String,
+      length: Int = 64): scala.collection.mutable.ArrayBuffer[String] = {
+    val toks = tokScratch.get()
+    toks.clear()
     val n = input.length
     var i = 0
     while (i < n) {
@@ -53,13 +70,15 @@ object SimHash {
       if (c >= length / 2 || minLen == 0) chosen = minLen
       else minLen -= 1
     }
-    var out = List.empty[String]
-    var t = toks.length - 1
-    while (t >= 0) {
-      if (toks(t).length > chosen) out = toks(t) :: out
-      t -= 1
+    // compact in place to the chosen sample
+    var w = 0
+    var t = 0
+    while (t < toks.length) {
+      if (toks(t).length > chosen) { toks(w) = toks(t); w += 1 }
+      t += 1
     }
-    out
+    toks.takeInPlace(w)
+    toks
   }
 
   /** _hash (hashing.py:58-62): big-endian 8-byte blake2b digest as unsigned. */
@@ -99,7 +118,11 @@ object SimHash {
   /** create_hash (hashing.py:82-93): 64-bit Charikar simhash. */
   def createHash(input: String): Long = {
     val vector = new Array[Int](64)
-    sampleTokens(input).foreach { token =>
+    val toks = sampleTokensBuf(input)
+    var ti = 0
+    while (ti < toks.length) {
+      val token = toks(ti)
+      ti += 1
       val th = tokenHashMemo(token)
       var i = 0
       while (i < 64) {
@@ -107,6 +130,7 @@ object SimHash {
         i += 1
       }
     }
+
     var out = 0L
     var i = 0
     while (i < 64) { if (vector(i) >= 0) out |= (1L << i); i += 1 }
@@ -124,7 +148,7 @@ object SimHash {
 
   /** generate_bow_hash (hashing.py:30-34). */
   def generateBowHash(input: String, length: Int = 24): Array[Byte] = {
-    val teststring = sampleTokens(input).mkString(" ").trim
+    val teststring = sampleTokensBuf(input).mkString(" ").trim
     Blake2b.digest(teststring.getBytes(java.nio.charset.StandardCharsets.UTF_8), length)
   }
 
