@@ -404,6 +404,50 @@ object HtmlParser {
 
   private def tokenize(s: String, b: Builder): Unit = tokenizeTo(s, b)
 
+
+  /** Canonical lowercase strings for common tag/attr names, indexed by
+    * length: a case-insensitive region match returns the shared instance,
+    * skipping the substring + toLowerCase per tag (AllocProf). Non-ASCII /
+    * uncommon names fall through to the allocating path. */
+  private val InternByLen: Array[Array[String]] = {
+    val names = Array(
+      "a", "b", "i", "p", "q", "u", "s",
+      "br", "dd", "dl", "dt", "em", "h1", "h2", "h3", "h4", "h5", "h6", "hr",
+      "id", "li", "ol", "rel", "td", "th", "tr", "ul",
+      "alt", "col", "del", "div", "img", "nav", "pre", "src", "sub", "sup", "var",
+      "wbr", "abbr", "area", "body", "cite", "code", "data", "figure",
+      "font", "form", "head", "href", "html", "link", "list", "main", "mark",
+      "menu", "meta", "name", "ruby", "samp", "slot", "span", "time", "type",
+      "aside", "audio", "class", "embed", "input", "label", "param", "small",
+      "style", "table", "tbody", "tfoot", "thead", "title", "track", "video",
+      "button", "canvas", "center", "dialog", "figcap", "footer", "header",
+      "hgroup", "iframe", "legend", "object", "option", "output", "script",
+      "select", "source", "strike", "strong", "article", "caption", "content",
+      "datalist", "details", "noscript", "picture", "property", "section",
+      "summary", "template", "textarea", "blockquote", "fieldset", "figcaption",
+      "datetime", "itemprop", "optgroup", "progress")
+    val maxLen = names.map(_.length).max
+    val byLen = new Array[Array[String]](maxLen + 1)
+    names.groupBy(_.length).foreach { case (l, ns) => byLen(l) = ns }
+    byLen
+  }
+
+  private def internToken(s: String, from: Int, to: Int): String = {
+    val len = to - from
+    if (len > 0 && len < InternByLen.length) {
+      val cands = InternByLen(len)
+      if (cands != null) {
+        var i = 0
+        while (i < cands.length) {
+          val c = cands(i)
+          if (s.regionMatches(true, from, c, 0, len)) return c
+          i += 1
+        }
+      }
+    }
+    s.substring(from, to).toLowerCase
+  }
+
   private def tokenizeTo(s: String, b: TokenSink): Unit = {
     val n = s.length
     var i = 0
@@ -435,7 +479,12 @@ object HtmlParser {
             flushText()
             var k = j
             while (k < n && s.charAt(k) != '>') k += 1
-            val name = s.substring(j, k).trim.toLowerCase.takeWhile(ch => !TextUtils.isPyWhitespace(ch))
+            // trim + first-whitespace-run cut via indices (was 3 copies)
+            var a0 = j
+            while (a0 < k && Character.isWhitespace(s.charAt(a0))) a0 += 1
+            var b0 = a0
+            while (b0 < k && !TextUtils.isPyWhitespace(s.charAt(b0))) b0 += 1
+            val name = internToken(s, a0, b0)
             if (name.nonEmpty) b.endTag(name)
             i = if (k < n) k + 1 else n
           } else { text.append(c); i += 1 }
@@ -497,7 +546,7 @@ object HtmlParser {
     var i = from
     val nameStart = i
     while (i < n && (Character.isLetterOrDigit(s.charAt(i)) || s.charAt(i) == '-' || s.charAt(i) == ':')) i += 1
-    val name = s.substring(nameStart, i).toLowerCase
+    val name = internToken(s, nameStart, i)
     // lazy: most tags carry no attributes — don't allocate the buffer for them
     var attrs: scala.collection.mutable.ArrayBuffer[(String, String)] = null
     var selfClosing = false
@@ -515,7 +564,7 @@ object HtmlParser {
           val aStart = i
           while (i < n && !TextUtils.isPyWhitespace(s.charAt(i)) && s.charAt(i) != '=' &&
             s.charAt(i) != '>' && s.charAt(i) != '/') i += 1
-          val aName = s.substring(aStart, i).toLowerCase
+          val aName = internToken(s, aStart, i)
           var aValue = ""
           // skip ws
           var j = i
