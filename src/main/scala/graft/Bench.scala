@@ -154,7 +154,10 @@ object Bench {
     // from ~10 busy cores — BASELINE.md): the multi-node story adds memory
     // channels with nodes, so the 2->8 pair isolates the pipeline's scaling
     // from the single-box memory ceiling that 16+ lanes hit.
-    Seq(2, loC, 8, hiC, fullC, fullC, hiC, 8, loC, 2).foreach { c => legs ++= runner(c, 2) }
+    // the primary pair gets the most sampling (3 runs per child)
+    Seq(2 -> 3, loC -> 2, 8 -> 3, hiC -> 2, fullC -> 2,
+        fullC -> 2, hiC -> 2, 8 -> 3, loC -> 2, 2 -> 3)
+      .foreach { case (c, r) => legs ++= runner(c, r) }
 
     // collapse re-runs: a level with no leg whose kernel µs/doc is within 2x
     // of the quietest leg anywhere was hit by external load — measure again

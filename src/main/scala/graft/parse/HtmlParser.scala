@@ -87,7 +87,16 @@ object HtmlParser {
           while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
           out.toByteArray
         } catch { case _: java.io.IOException => bytes }
-      } else bytes
+      } else {
+        // no gzip magic: try brotli like the reference (utils.py:78-96 —
+        // `br` payloads carry no magic bytes; malformed input throws fast
+        // and falls through to the raw bytes). A non-empty input decoding
+        // to an empty stream is a short-input coincidence, not a page.
+        try {
+          val d = Brotli.decompress(bytes)
+          if (d.isEmpty && bytes.nonEmpty) bytes else d
+        } catch { case _: BrotliException | _: ArrayIndexOutOfBoundsException => bytes }
+      }
     strictDecode(content, java.nio.charset.StandardCharsets.UTF_8).getOrElse {
       // detect_encoding analogue (utils.py:99-157, cchardet cascade over the
       // first 15 kB): (1) every meta-declared charset in document order —
