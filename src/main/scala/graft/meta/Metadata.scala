@@ -493,7 +493,85 @@ object Metadata {
       val m = Pattern.compile("/(\\d{4})/(\\d{1,2})/(\\d{1,2})").matcher(url)
       if (m.find()) return f"${m.group(1)}-${m.group(2).toInt}%02d-${m.group(3).toInt}%02d"
     }
-    null
+    // htmldate extensive-search analogue (metadata.py:535 falls back to
+    // find_date(extensive_search=True)): scan the rendered text for date
+    // expressions, first plausible hit in document order wins
+    extensiveDateSearch(tree)
+  }
+
+  private val MonthNames: Map[String, Int] = {
+    val en = Seq("january", "february", "march", "april", "may", "june", "july",
+      "august", "september", "october", "november", "december")
+    val de = Seq("januar", "februar", "märz", "april", "mai", "juni", "juli",
+      "august", "september", "oktober", "november", "dezember")
+    val fr = Seq("janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+      "août", "septembre", "octobre", "novembre", "décembre")
+    val es = Seq("enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+      "agosto", "septiembre", "octubre", "noviembre", "diciembre")
+    val abbrEn = Seq("jan", "feb", "mar", "apr", "may", "jun", "jul", "aug",
+      "sep", "oct", "nov", "dec")
+    val all = scala.collection.mutable.HashMap.empty[String, Int]
+    Seq(en, de, fr, es, abbrEn).foreach(_.zipWithIndex.foreach { case (m, i) =>
+      all(m) = i + 1
+    })
+    all.toMap
+  }
+
+  private val NumericDate = Pattern.compile(
+    "(?<!\\d)(\\d{4})[-/.](\\d{1,2})[-/.](\\d{1,2})(?!\\d)|(?<!\\d)(\\d{1,2})[./](\\d{1,2})[./](\\d{4})(?!\\d)")
+  private val TextualDate = Pattern.compile(
+    "(?iu)(?:(\\d{1,2})\\.?\\s+)?(\\p{L}+)\\.?\\s+(\\d{1,2})?,?\\s*(\\d{4})")
+
+  private def validDate(y: Int, mo: Int, d: Int): Boolean =
+    y >= 1995 && y <= 2039 && mo >= 1 && mo <= 12 && d >= 1 && d <= 31
+
+  /** Free-text date scan over the document's text nodes (YYYY-MM-DD,
+    * DD.MM.YYYY, YYYY/MM/DD, and textual month forms in en/de/fr/es).
+    * Conservative: plausibility-gated, first hit in document order. */
+  def extensiveDateSearch(tree: Node): String = {
+    var found: String = null
+    def walk(n: Node): Unit = {
+      if (found != null) return
+      // script/style bodies are full of machine timestamps — not dates
+      if (n.tag == "script" || n.tag == "style") return
+      scan(n)
+      val cs = n.children
+      var i = 0
+      while (i < cs.length && found == null) { walk(cs(i)); i += 1 }
+    }
+    def scan(n: Node): Unit = {
+      if (found == null) {
+        var piece = n.text
+        var pass = 0
+        while (pass < 2 && found == null) {
+          if (piece != null && piece.length >= 6 && piece.exists(_.isDigit)) {
+            val m = graft.text.Re.m(NumericDate, piece)
+            while (found == null && m.find()) {
+              val (y, mo, d) =
+                if (m.group(1) != null) (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+                else (m.group(6).toInt, m.group(5).toInt, m.group(4).toInt)
+              if (validDate(y, mo, d)) found = f"$y%04d-$mo%02d-$d%02d"
+            }
+            if (found == null) {
+              val t = graft.text.Re.m(TextualDate, piece)
+              while (found == null && t.find()) {
+                val mo = MonthNames.getOrElse(t.group(2).toLowerCase, 0)
+                val dayStr = if (t.group(1) != null) t.group(1) else t.group(3)
+                if (mo > 0 && dayStr != null) {
+                  val y = t.group(4).toInt
+                  val d = dayStr.toInt
+                  if (validDate(y, mo, d)) found = f"$y%04d-$mo%02d-$d%02d"
+                }
+              }
+            }
+          }
+          pass += 1
+          piece = n.tail
+        }
+      }
+    }
+    walk(tree)
+    found
   }
 
   /** clean_and_trim (metadata.py:58-70). */

@@ -176,4 +176,20 @@ class MetadataSpec extends AnyFunSuite {
     assert(meta("<html><body><div class=\"postmeta\"><a href=\"https://example.org/category/cat1/\">Cat1</a></div></body></html>").categories == List("Cat1"))
     assert(meta("<html><body><p class=\"entry-tags\"><a href=\"https://example.org/tags/tag1/\">Tag1</a>, <a href=\"https://example.org/tags/tag2/\">Tag2</a></p></body></html>").tags == List("Tag1", "Tag2"))
   }
+
+  test("extensive date search: free-text dates as the last-resort fallback") {
+    import graft.parse.HtmlParser
+    def dateOf(html: String): String =
+      graft.meta.Metadata.extractMetadata(HtmlParser.loadHtml(html), null).date
+    assert(dateOf("<html><body><p>Posted on January 12, 2023 by staff</p></body></html>") == "2023-01-12")
+    assert(dateOf("<html><body><p>Veröffentlicht am 3. Oktober 2019</p></body></html>") == "2019-10-03")
+    assert(dateOf("<html><body><p>Publié le 7 juillet 2021</p></body></html>") == "2021-07-07")
+    assert(dateOf("<html><body><p>Updated 2020-11-05 10:33</p></body></html>") == "2020-11-05")
+    assert(dateOf("<html><body><p>Stand: 24.12.2018</p></body></html>") == "2018-12-24")
+    // meta date still wins over free text
+    assert(dateOf("<html><head><meta property=\"article:published_time\" content=\"2017-06-01\"/></head><body><p>January 12, 2023</p></body></html>") == "2017-06-01")
+    // script timestamps and implausible values are not dates
+    assert(dateOf("<html><body><script>var t='2023/10/05';</script><p>no date here</p></body></html>") == null)
+    assert(dateOf("<html><body><p>version 3.10.1988 of 99.99.2023</p></body></html>") == null)
+  }
 }
