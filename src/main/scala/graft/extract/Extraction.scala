@@ -254,6 +254,28 @@ object Extraction {
       Option(TextUtils.sanitize(Dom.toXml(tei))).getOrElse(""))
   }
 
+  /** The TEI document TREE (for RelaxNG validation / inspection) — same
+    * path as extractTei up to serialization. */
+  def extractTeiTree(filecontent: String, url: String = null, recordId: String = null,
+      options: ExtractorOptions = ExtractorOptions()): Node = {
+    val r = bareFull(filecontent, url, options)
+    if (r == null) return null
+    val fingerprint = SimHash.contentFingerprint(String.valueOf(r.doc.meta.title) + " " + r.doc.text)
+    val meta = r.doc.meta.copy(id = recordId, fingerprint = fingerprint)
+    r.body.iterList(null).foreach { element =>
+      if (element.tag != "graphic" && element.children.isEmpty &&
+        (element.text == null || element.text.isEmpty) &&
+        (element.tail == null || element.tail.isEmpty)) {
+        val p = element.getparent
+        if (p != null) p.remove(element)
+      }
+    }
+    Serializers.stripDoubleTags(r.body)
+    Serializers.removeEmptyElements(r.body)
+    graft.out.Tei.buildTeiOutput(meta, r.body,
+      if (options.comments) r.commentsBody else null, url)
+  }
+
   /** Full result with fingerprint (core.py:1099-1103). */
   def extractDoc(filecontent: String, url: String = null, recordId: String = null,
       options: ExtractorOptions = ExtractorOptions()): ExtractedDoc = {

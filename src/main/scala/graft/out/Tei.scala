@@ -294,4 +294,9 @@ object Tei {
   /** build_tei_output (xml.py:138-145). */
   def buildTeiOutput(meta: DocMeta, body: Node, commentsBody: Node, url: String): Node =
     checkTei(writeTeiTree(meta, body, commentsBody), url)
+
+  /** validate_tei (xml.py:189-200): RelaxNG validation against the TEI P5
+    * schema (the reference's own schema asset, shipped as a resource) via
+    * the derivative-algorithm validator in RelaxNg. */
+  def validateTei(xmldoc: Node): Boolean = RelaxNg.teiSchema.validate(xmldoc)
 }
