@@ -229,6 +229,66 @@ object RelaxNg {
       * taken to be in `ns` (default: the TEI namespace). */
     def validate(root: Node, ns: String = TeiNs): Boolean =
       childDeriv(start, root, ns).nullable
+
+    /** First failure located by re-deriving with a path trace (debug aid —
+      * returns null when valid). */
+    def explain(root: Node, ns: String = TeiNs): String = {
+      var fail: String = null
+      def walk(p: Pat, n: Node, path: String): Pat = {
+        if (fail != null) return PNotAllowed
+        var cur = startTagOpenDeriv(p, ns, n.tag)
+        if (cur == PNotAllowed) { fail = s"$path: element <${n.tag}> not allowed here"; return PNotAllowed }
+        if (n.hasAttrs) n.attrs.foreachKV { (k, v) =>
+          if (cur != PNotAllowed) {
+            val (ans, local) = attrQName(k)
+            if (local != null) {
+              val nxt = attDeriv(cur, ans, local, v)
+              if (nxt == PNotAllowed && fail == null)
+                fail = s"$path/<${n.tag}>: attribute $k=\"$v\" not allowed"
+              cur = nxt
+            }
+          }
+        }
+        if (cur == PNotAllowed) return PNotAllowed
+        cur = startTagCloseDeriv(cur)
+        if (cur == PNotAllowed) {
+          if (fail == null) fail = s"$path/<${n.tag}>: missing required attribute"
+          return PNotAllowed
+        }
+        // children with per-child recursion for the trace
+        val hasElems = n.children.nonEmpty
+        if (!hasElems) {
+          val str = if (n.text == null) "" else n.text
+          val p1 = textDeriv(cur, str)
+          cur = if (isWhitespace(str)) choice(cur, p1) else p1
+          if (cur == PNotAllowed && fail == null)
+            fail = s"$path/<${n.tag}>: text content not allowed"
+        } else {
+          def text(str: String): Unit =
+            if (str != null && !isWhitespace(str) && cur != PNotAllowed) {
+              val nxt = textDeriv(cur, str)
+              if (nxt == PNotAllowed && fail == null)
+                fail = s"$path/<${n.tag}>: mixed text not allowed"
+              cur = nxt
+            }
+          text(n.text)
+          var i = 0
+          while (i < n.children.length && cur != PNotAllowed) {
+            cur = walk(cur, n.children(i), s"$path/<${n.tag}>")
+            text(n.children(i).tail)
+            i += 1
+          }
+        }
+        if (cur == PNotAllowed) return PNotAllowed
+        val e = endTagDeriv(cur)
+        if (e == PNotAllowed && fail == null)
+          fail = s"$path/<${n.tag}>: incomplete content"
+        e
+      }
+      val r = walk(start, root, "")
+      if (fail == null && !r.nullable) fail = "document pattern not nullable at end"
+      fail
+    }
   }
 
   // ------------------------------------------------------------- RNG parsing
