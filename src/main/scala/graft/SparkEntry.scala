@@ -47,6 +47,9 @@ object SparkEntry {
     // --- deduplication family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(DocsTables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => TextOps.dedupMinhash(DocsTables.documents(s, dir))),
+    // connected components over the near-dup pair graph (canonical doc per
+    // duplicate cluster); oracle = recursive-CTE transitive closure
+    "dedup_clusters" -> ((s, dir) => TextOps.dedupClusters(DocsTables.documents(s, dir))),
     // simhash determinism shaped for SQL: identical texts under two ids must
     // fingerprint identically -> hamming 0, predictable without blake2b
     "simhash_fp" -> ((s, dir) => TextOps.simhashPairs(s, DocsTables.documents(s, dir))),
@@ -189,6 +192,7 @@ object SparkEntry {
     "lang_id" -> TextOps.langIdOracle,
     "dedup_exact" -> TextOps.dedupExactOracle,
     "dedup_minhash" -> TextOps.dedupMinhashOracle(),
+    "dedup_clusters" -> TextOps.dedupClustersOracle(),
     "ann_cosine" -> TextOps.annCosineOracle(),
     "emb_near_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id

@@ -265,6 +265,68 @@ object TextOps {
        |WHERE a.doc_id < b.doc_id
        |  AND len(list_intersect(a.sh, b.sh)) / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE) >= $threshold""".stripMargin
 
+  /** Near-dup CLUSTERS: connected components over the MinHash near-dup
+    * pair graph, labeling every corpus doc with the smallest doc_id in its
+    * component (singletons label themselves) — the "keep one canonical doc
+    * per duplicate cluster" step a production dedup pipeline runs after
+    * pair generation.
+    *
+    * Algorithm: iterative min-label propagation (each round every node
+    * takes the min of its own and its neighbors' labels) — converges in
+    * component-diameter rounds; near-dup clusters are shallow, and the
+    * driver-side loop with a convergence count is the standard shape for
+    * iterative graph algorithms on Spark (GraphX does the same). At 100 TB
+    * the same loop runs with the pair table bucketed on `a` and AQE
+    * handling skew; the alternating large-star/small-star variant drops in
+    * here if mega-components ever appear. */
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.8,
+      maxIters: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val pairs = dedupMinhash(docs, threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
+    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+    val nodes = nearDupCorpus(docs).select(col("doc_id").cast("long").as("doc_id"))
+    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
+    labels.count()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIters) {
+      val prop = edges
+        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
+        .groupBy(col("a")).agg(min(col("nl")).as("min_nl"))
+        .withColumnRenamed("a", "doc_id")
+      val next = labels.join(prop, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
+        .persist()
+      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist(false)
+      labels = next
+      iter += 1
+    }
+    require(changed == 0, s"dedupClusters did not converge in $maxIters rounds")
+    pairs.unpersist(false)
+    labels.select(col("doc_id"), col("label").as("cluster_id"))
+  }
+
+  /** DuckDB oracle: transitive closure via a recursive CTE, min reachable
+    * id per node over the same exact-verified pair graph. */
+  def dedupClustersOracle(threshold: Double = 0.8): String =
+    s"""WITH RECURSIVE pairs AS (
+       |  ${dedupMinhashOracle(threshold).replace("\n", "\n  ")}
+       |), edges AS (
+       |  SELECT id_a AS a, id_b AS b FROM pairs
+       |  UNION ALL SELECT id_b, id_a FROM pairs
+       |), nodes AS (
+       |  SELECT doc_id FROM $nearDupCorpusSql n
+       |), reach(src, dst) AS (
+       |  SELECT doc_id, doc_id FROM nodes
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.dst = e.a
+       |)
+       |SELECT src AS doc_id, MIN(dst) AS cluster_id FROM reach GROUP BY src""".stripMargin
+
   // ----------------------------------------------------- n-gram Jaccard dup
 
   /** Direct n-gram Jaccard near-dup over a bucketed join (prefix bucket on

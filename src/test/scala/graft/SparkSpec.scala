@@ -288,6 +288,31 @@ class SparkSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("dedupClusters: labels are exact connected components of the pair graph") {
+    val docs = graft.spark.DocsTables.documents(spark, sf)
+    val pairs = graft.spark.TextOps.dedupMinhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    // driver-side union-find reference over the same pair set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val got = graft.spark.TextOps.dedupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // every corpus doc is labeled; paired docs get their component's min id,
+    // singletons label themselves
+    val members = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    val roots = members.groupBy(find).map { case (_, m) => m -> m.min }
+    roots.foreach { case (m, lbl) => m.foreach(d => assert(got(d) == lbl, s"doc $d")) }
+    got.foreach { case (d, lbl) => if (!members.contains(d)) assert(lbl == d, s"singleton $d") }
+  }
+
   test("dedupExact plan shuffles hash keys, not text") {
     val docs = graft.spark.DocsTables.documents(spark, sf)
     val plan = graft.spark.TextOps.dedupExact(docs).queryExecution.executedPlan.toString
