@@ -271,43 +271,61 @@ object TextOps {
     * per duplicate cluster" step a production dedup pipeline runs after
     * pair generation.
     *
-    * Algorithm: iterative min-label propagation (each round every node
-    * takes the min of its own and its neighbors' labels) — converges in
-    * component-diameter rounds; near-dup clusters are shallow, and the
-    * driver-side loop with a convergence count is the standard shape for
-    * iterative graph algorithms on Spark (GraphX does the same). At 100 TB
-    * the same loop runs with the pair table bucketed on `a` and AQE
-    * handling skew; the alternating large-star/small-star variant drops in
-    * here if mega-components ever appear. */
+    * Algorithm: star contraction with label flattening. Each round (1)
+    * contracts every edge through the current labels and drops self-loops,
+    * (2) lowers each representative to its minimum neighboring
+    * representative, (3) flattens labels one pointer hop (L := L∘L).
+    * Contraction + flattening compound, so a chain of diameter d resolves
+    * in O(log d) rounds — the Kiveris et al. star-contraction family, the
+    * published shape for trillion-edge connected components — while plain
+    * min-label propagation (GraphX-style Pregel) needs d rounds. The
+    * iteration runs only over the near-dup MEMBER subgraph (nodes with at
+    * least one pair); the full corpus is labeled once at the end with a
+    * left join, so per-round cost is O(pairs), not O(corpus). At 100 TB
+    * the contracted edge set shrinks monotonically and every join key is
+    * an 8-byte id; AQE handles the skew a mega-component would create. */
   def dedupClusters(docs: DataFrame, threshold: Double = 0.8,
       maxIters: Int = 20): DataFrame = {
-    val spark = docs.sparkSession
     val pairs = dedupMinhash(docs, threshold)
-      .select(col("id_a").as("a"), col("id_b").as("b")).persist()
-    val edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-    val nodes = nearDupCorpus(docs).select(col("doc_id").cast("long").as("doc_id"))
-    var labels = nodes.select(col("doc_id"), col("doc_id").as("label")).persist()
-    labels.count()
-    var changed = 1L
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    // localCheckpoint truncates lineage each round — without it the flatten
+    // self-join doubles the logical plan per iteration and analysis blows up
+    // exponentially. On a real cluster swap in reliable checkpointing
+    // (sc.setCheckpointDir + .checkpoint) for executor-loss tolerance.
+    var edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    var nEdges = edges.count()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
     var iter = 0
-    while (changed > 0 && iter < maxIters) {
-      val prop = edges
-        .join(labels.select(col("doc_id").as("b"), col("label").as("nl")), Seq("b"))
-        .groupBy(col("a")).agg(min(col("nl")).as("min_nl"))
-        .withColumnRenamed("a", "doc_id")
-      val next = labels.join(prop, Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          least(col("label"), coalesce(col("min_nl"), col("label"))).as("label"))
-        .persist()
-      changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist(false)
-      labels = next
-      iter += 1
+    while (nEdges > 0 && iter < maxIters) {
+      // contract both endpoints to their representatives, drop self-loops
+      // (round 1 skips it: labels are still the identity map there)
+      val contracted = if (iter == 0) edges else edges
+        .join(labels.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"))
+        .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
+        .select(col("la").as("a"), col("lb").as("b"))
+        .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      // every representative adopts its smallest neighboring representative
+      val upd = contracted
+        .select(greatest(col("a"), col("b")).as("label"), least(col("a"), col("b")).as("m"))
+        .groupBy("label").agg(min(col("m")).as("m"))
+      val stepped = labels.join(upd, Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("m"), col("label")).as("label"))
+      // flatten one pointer hop: L := L∘L (this is what makes rounds O(log d))
+      val next = stepped.alias("s")
+        .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).alias("t"),
+          Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      nEdges = contracted.count()
+      edges = contracted; labels = next; iter += 1
     }
-    require(changed == 0, s"dedupClusters did not converge in $maxIters rounds")
-    pairs.unpersist(false)
-    labels.select(col("doc_id"), col("label").as("cluster_id"))
+    require(nEdges == 0, s"dedupClusters did not converge in $maxIters rounds")
+    // label the full corpus: members take their component min, singletons self
+    nearDupCorpus(docs).select(col("doc_id").cast("long").as("doc_id"))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
 
   /** DuckDB oracle: transitive closure via a recursive CTE, min reachable
