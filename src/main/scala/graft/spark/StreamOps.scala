@@ -137,4 +137,29 @@ object StreamOps {
           out.iterator
       }
   }
+
+  // ------------------------------------------------------- streaming dedup
+
+  /** Streaming exact dedup over a docs stream: emit the first-seen document
+    * per text fingerprint, with BOUNDED state — `dropDuplicatesWithinWatermark`
+    * prunes fingerprint state once the watermark passes it, which is the
+    * production shape for streaming-ingest dedup (a plain `dropDuplicates`
+    * on an unbounded stream grows its state store forever). Keying follows
+    * batch `TextOps.dedupExact`: two independent xxhash64s of the text
+    * (16 bytes/key — seed-first chaining re-seeds the second hash), so the
+    * state store never holds document text. Semantics: a duplicate arriving
+    * within `delay` of the kept row's event time is dropped; one arriving
+    * after the state was pruned re-emits — the standard bounded-state
+    * trade-off, sized by the ingest pipeline's max duplicate lag.
+    *
+    * @param docs streaming DataFrame with `text` and event-time column `tsCol`
+    */
+  def streamingDedup(docs: DataFrame, tsCol: String = "ts",
+      delay: String = "1 hour"): DataFrame =
+    docs
+      .withColumn(tsCol, col(tsCol).cast("timestamp"))
+      .withColumn("h1", xxhash64(col("text")))
+      .withColumn("h2", xxhash64(lit(1), col("text")))
+      .withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark("h1", "h2")
 }

@@ -394,6 +394,43 @@ class SparkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: bounded-state dropDuplicatesWithinWatermark parity with batch") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-sdedup").toString
+    // duplicate every doc under a shifted id (same corpus-doubling as
+    // dedupExact) with event times inside the watermark delay
+    val base = spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("text"))
+    val docs = base.unionAll(
+        base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") % 60))
+    docs.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(
+      docs.schema).parquet(s"$dir/in")
+    val q = graft.spark.StreamOps.streamingDedup(stream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.sql("SELECT h1, h2 FROM dedup_stream")
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      // every in-watermark duplicate dropped: one emission per fingerprint,
+      // matching the batch-distinct fingerprint set exactly
+      assert(streamed.length == streamed.toSet.size, "stream emitted a duplicate")
+      val batch = docs
+        .select(xxhash64(col("text")).as("h1"), xxhash64(lit(1), col("text")).as("h2"))
+        .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(streamed.toSet == batch,
+        s"streamed=${streamed.length} batchDistinct=${batch.size}")
+      // and dedup actually removed rows (the doubled corpus halves)
+      assert(streamed.length.toLong < docs.count())
+      // state is watermark-bounded: the plan carries the within-watermark
+      // dedup operator, not an unbounded dropDuplicates
+      assert(q.lastProgress.stateOperators.exists(
+        _.operatorName.toLowerCase.contains("withinwatermark")),
+        q.lastProgress.stateOperators.map(_.operatorName).mkString(","))
+    } finally q.stop()
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
