@@ -313,6 +313,21 @@ class SparkSpec extends AnyFunSuite {
     got.foreach { case (d, lbl) => if (!members.contains(d)) assert(lbl == d, s"singleton $d") }
   }
 
+  test("dedupClusters: empty pair graph degenerates to all-singleton labels") {
+    import spark.implicits._
+    // three fully distinct texts -> LSH candidates (if any) die at the exact
+    // jaccard>=0.8 verification, so the pair graph is empty
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten eleven"),
+      (3L, "red orange yellow green blue indigo violet black white gray"))
+      .toDF("doc_id", "text")
+    val out = graft.spark.TextOps.dedupClusters(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty)
+    out.foreach { case (d, lbl) => assert(d == lbl, s"doc $d labeled $lbl") }
+  }
+
   test("dedupExact plan shuffles hash keys, not text") {
     val docs = graft.spark.DocsTables.documents(spark, sf)
     val plan = graft.spark.TextOps.dedupExact(docs).queryExecution.executedPlan.toString
