@@ -313,6 +313,23 @@ class SparkSpec extends AnyFunSuite {
     got.foreach { case (d, lbl) => if (!members.contains(d)) assert(lbl == d, s"singleton $d") }
   }
 
+  test("dedupClusters: chain of diameter ~30 converges in <=10 rounds (O(log d))") {
+    import spark.implicits._
+    // sliding window over distinct tokens, step 4 of 40: consecutive docs
+    // share jaccard 34/42 = 0.81 (a pair-graph edge), two-apart 0.65 (no
+    // edge) -> the pair graph is a pure chain of diameter ~30 (plus leaf
+    // mutants from nearDupCorpus). Plain min-label propagation needs ~30
+    // rounds; star contraction + flatten must land within maxIters = 10 or
+    // the require() inside dedupClusters throws.
+    val words = (0 until 156).map(i => f"tok$i%04d")
+    val docs = (0 until 30).map(i => (i.toLong, words.slice(4 * i, 4 * i + 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 60) // 30 docs + 30 mutated copies
+    out.foreach { case (d, lbl) => assert(lbl == 0L, s"doc $d labeled $lbl, expected 0") }
+  }
+
   test("dedupClusters: empty pair graph degenerates to all-singleton labels") {
     import spark.implicits._
     // three fully distinct texts -> LSH candidates (if any) die at the exact
