@@ -162,17 +162,26 @@ object Bench {
     // collapse re-runs: a level with no leg whose kernel µs/doc is within 2x
     // of the quietest leg anywhere was hit by external load — measure again
     var extra = 0
+    // quietest kernel µs/doc anywhere; +Inf when nothing usable was measured
+    // (e.g. docs=0 -> NaN everywhere) so the bench degrades instead of
+    // crashing on empty.min
+    def quietestUs: Double = {
+      val ks = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN)
+      if (ks.isEmpty) Double.PositiveInfinity else ks.min
+    }
     Seq(2, loC, 8, hiC, fullC).foreach { c =>
       var attempts = 0
       while (attempts < 2 && {
-        val ref = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
-        !legs.exists(l => l.cpus == c && l.kernelUsPerDoc <= 2 * ref)
+        val ref = quietestUs
+        !legs.exists(l => l.cpus == c &&
+          (l.kernelUsPerDoc <= 2 * ref || ref.isInfinity))
       }) { legs ++= runner(c, 2); attempts += 1; extra += 1 }
     }
 
-    val refUs = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN).min
+    val refUs = quietestUs
     def best(c: Int): Leg = {
       val of = legs.filter(_.cpus == c)
+      require(of.nonEmpty, s"no legs measured at $c cores — runner returned nothing")
       val ok = of.filter(_.kernelUsPerDoc <= 2 * refUs)
       (if (ok.nonEmpty) ok else of).maxBy(_.tput)
     }

@@ -233,35 +233,21 @@ object Extraction {
   /** extract with output_format='xmltei' (core.py:811-812). */
   def extractTei(filecontent: String, url: String = null, recordId: String = null,
       options: ExtractorOptions = ExtractorOptions()): String = {
-    val r = bareFull(filecontent, url, options)
-    if (r == null) return null
-    val fingerprint = SimHash.contentFingerprint(String.valueOf(r.doc.meta.title) + " " + r.doc.text)
-    val meta = r.doc.meta.copy(id = recordId, fingerprint = fingerprint)
-    // final empty-element cleanup as in the xml path (core.py:801-808)
-    r.body.iterList(null).foreach { element =>
-      if (element.tag != "graphic" && element.children.isEmpty &&
-        (element.text == null || element.text.isEmpty) &&
-        (element.tail == null || element.tail.isEmpty)) {
-        val p = element.getparent
-        if (p != null) p.remove(element)
-      }
-    }
-    Serializers.stripDoubleTags(r.body)
-    Serializers.removeEmptyElements(r.body)
-    val tei = graft.out.Tei.buildTeiOutput(meta, r.body,
-      if (options.comments) r.commentsBody else null, url)
+    val tei = extractTeiTree(filecontent, url, recordId, options)
+    if (tei == null) return null
     TextUtils.normalizeUnicode(
       Option(TextUtils.sanitize(Dom.toXml(tei))).getOrElse(""))
   }
 
-  /** The TEI document TREE (for RelaxNG validation / inspection) — same
-    * path as extractTei up to serialization. */
+  /** The TEI document TREE — extractTei is this plus serialization (so the
+    * RelaxNG validation path can never diverge from the shipped output). */
   def extractTeiTree(filecontent: String, url: String = null, recordId: String = null,
       options: ExtractorOptions = ExtractorOptions()): Node = {
     val r = bareFull(filecontent, url, options)
     if (r == null) return null
     val fingerprint = SimHash.contentFingerprint(String.valueOf(r.doc.meta.title) + " " + r.doc.text)
     val meta = r.doc.meta.copy(id = recordId, fingerprint = fingerprint)
+    // final empty-element cleanup as in the xml path (core.py:801-808)
     r.body.iterList(null).foreach { element =>
       if (element.tag != "graphic" && element.children.isEmpty &&
         (element.text == null || element.text.isEmpty) &&

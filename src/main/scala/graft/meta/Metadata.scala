@@ -530,20 +530,22 @@ object Metadata {
     * Conservative: plausibility-gated, first hit in document order. */
   def extensiveDateSearch(tree: Node): String = {
     var found: String = null
+    // document order: element text, then the subtree, then the element's
+    // tail (the tail is rendered AFTER the subtree). script/style bodies are
+    // full of machine timestamps — skip text+children there, but their tail
+    // is ordinary document text and still scans.
     def walk(n: Node): Unit = {
       if (found != null) return
-      // script/style bodies are full of machine timestamps — not dates
-      if (n.tag == "script" || n.tag == "style") return
-      scan(n)
-      val cs = n.children
-      var i = 0
-      while (i < cs.length && found == null) { walk(cs(i)); i += 1 }
+      if (n.tag != "script" && n.tag != "style") {
+        scanPiece(n.text)
+        val cs = n.children
+        var i = 0
+        while (i < cs.length && found == null) { walk(cs(i)); i += 1 }
+      }
+      scanPiece(n.tail)
     }
-    def scan(n: Node): Unit = {
+    def scanPiece(piece: String): Unit = {
       if (found == null) {
-        var piece = n.text
-        var pass = 0
-        while (pass < 2 && found == null) {
           if (piece != null && piece.length >= 6 && piece.exists(_.isDigit)) {
             val m = graft.text.Re.m(NumericDate, piece)
             while (found == null && m.find()) {
@@ -565,9 +567,6 @@ object Metadata {
               }
             }
           }
-          pass += 1
-          piece = n.tail
-        }
       }
     }
     walk(tree)

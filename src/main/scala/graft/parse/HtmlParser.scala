@@ -444,7 +444,14 @@ object HtmlParser {
   private def internToken(s: String, from: Int, to: Int): String = {
     val len = to - from
     if (len > 0 && len < InternByLen.length) {
-      val cands = InternByLen(len)
+      // ASCII-only fast path: regionMatches(ignoreCase) folds per-char via
+      // toUpper/toLower, which canonicalizes Unicode lookalikes (U+0131
+      // dotless i, U+0130 dotted I) onto ASCII names that String.toLowerCase
+      // keeps distinct — any non-ASCII char falls through to the slow path
+      var ascii = true
+      var j = from
+      while (ascii && j < to) { if (s.charAt(j) >= 0x80) ascii = false; j += 1 }
+      val cands = if (ascii) InternByLen(len) else null
       if (cands != null) {
         var i = 0
         while (i < cands.length) {

@@ -123,7 +123,10 @@ object ExtractPipeline {
     * bucket pass — including resume passes in a later process — reads only
     * its own `_bucket=N` partition directory, so total input scan volume is
     * 1x (the staging write) + 1/buckets per pass, never buckets× the raw
-    * table. Each manifest records the pruned path + files actually read. */
+    * table. `htmlBackup=true` adds a SECOND read of the bucket for the
+    * backup write (2/buckets per pass): re-reading the pruned parquet keeps
+    * the memory profile flat, vs. caching a whole bucket of raw pages to
+    * save a scan. Each manifest records the pruned path + files read. */
   /** `htmlBackup=true` mirrors the reference's HTML backup sink
     * (cli_utils.py:161-170: `--backup-dir` persists the raw page next to the
     * extraction output): each bucket's raw html payloads land in
@@ -148,7 +151,11 @@ object ExtractPipeline {
       // marker write would leave a resumable staged table whose next run
       // throws NoSuchFileException instead of a diagnosable error
       val tmpMarker = java.nio.file.Paths.get(s"$outDir/_commits/._buckets.tmp")
-      java.nio.file.Files.writeString(tmpMarker, buckets.toString)
+      // the marker records the run LAYOUT: bucket count + whether the html
+      // backup sink is part of each bucket's committed unit — a resume with
+      // either changed must fail loudly (a flipped htmlBackup would silently
+      // skip the backup for already-committed buckets)
+      java.nio.file.Files.writeString(tmpMarker, s"$buckets\n$htmlBackup")
       java.nio.file.Files.move(tmpMarker, bucketsMarker,
         java.nio.file.StandardCopyOption.ATOMIC_MOVE,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
@@ -158,9 +165,16 @@ object ExtractPipeline {
           s"commit log at $outDir has a staged table but no _buckets marker " +
             "(crash between staging and marker write?) — delete " +
             s"$stagedDir to restage, or restore _commits/_buckets")
-      val staged = java.nio.file.Files.readString(bucketsMarker).trim.toInt
+      val markerLines = java.nio.file.Files.readString(bucketsMarker).trim
+        .split("\n").map(_.trim)
+      val staged = markerLines(0).toInt
       require(staged == buckets,
         s"commit log at $outDir was staged with buckets=$staged, got buckets=$buckets")
+      val stagedBackup = markerLines.length > 1 && markerLines(1).toBoolean
+      require(stagedBackup == htmlBackup,
+        s"commit log at $outDir was staged with htmlBackup=$stagedBackup, " +
+          s"got htmlBackup=$htmlBackup — committed buckets would be missing " +
+          "(or carrying stale) html-bucket-N data")
     }
     val rowSchema = org.apache.spark.sql.Encoders.product[DocRow].schema
     val written = scala.collection.mutable.ListBuffer.empty[String]

@@ -121,6 +121,13 @@ class SparkSpec extends AnyFunSuite {
     // the backup is the RAW page, not the extraction: html markup survives
     val sample = backup.filter(col("html").isNotNull).limit(1).collect()(0).getString(1)
     assert(sample.contains("<html") && sample.contains("article-body"))
+    // the backup flag is part of the committed layout: resuming the same
+    // outDir with htmlBackup flipped would silently skip (or stale-keep)
+    // html-bucket-N for already-committed buckets — must fail loudly
+    val e = intercept[IllegalArgumentException] {
+      ExtractPipeline.runWithCommitLog(spark, input, dir, opts, buckets = 2)
+    }
+    assert(e.getMessage.contains("htmlBackup"))
   }
 
   test("commit log: staged table without _buckets marker fails diagnosably") {
