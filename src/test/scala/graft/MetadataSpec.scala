@@ -191,5 +191,10 @@ class MetadataSpec extends AnyFunSuite {
     // script timestamps and implausible values are not dates
     assert(dateOf("<html><body><script>var t='2023/10/05';</script><p>no date here</p></body></html>") == null)
     assert(dateOf("<html><body><p>version 3.10.1988 of 99.99.2023</p></body></html>") == null)
+    // the TAIL after a script/style is rendered document text and DOES scan
+    // (only the machine-timestamp body is skipped)
+    assert(dateOf("<html><body><script>var x=1;</script>Published 2021-05-04<p>article</p></body></html>") == "2021-05-04")
+    // document order: an element's subtree precedes its tail
+    assert(dateOf("<html><body><div><p>First on 2020-01-02</p></div>seen again 2019-03-04</body></html>") == "2020-01-02")
   }
 }
