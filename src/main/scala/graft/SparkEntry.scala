@@ -47,6 +47,9 @@ object SparkEntry {
     // --- deduplication family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(DocsTables.documents(s, dir))),
     "dedup_minhash" -> ((s, dir) => TextOps.dedupMinhash(DocsTables.documents(s, dir))),
+    // exact-guarantee near-dup path: prefix-filtered set-similarity join,
+    // no probabilistic machinery (same oracle as minhash — both are exact)
+    "dedup_ngram" -> ((s, dir) => TextOps.dedupNgramJaccard(DocsTables.documents(s, dir))),
     // connected components over the near-dup pair graph (canonical doc per
     // duplicate cluster); oracle = recursive-CTE transitive closure
     "dedup_clusters" -> ((s, dir) => TextOps.dedupClusters(DocsTables.documents(s, dir))),
@@ -192,6 +195,7 @@ object SparkEntry {
     "lang_id" -> TextOps.langIdOracle,
     "dedup_exact" -> TextOps.dedupExactOracle,
     "dedup_minhash" -> TextOps.dedupMinhashOracle(),
+    "dedup_ngram" -> TextOps.dedupMinhashOracle(),
     "dedup_clusters" -> TextOps.dedupClustersOracle(),
     "ann_cosine" -> TextOps.annCosineOracle(),
     "emb_near_dup" ->

@@ -347,10 +347,37 @@ object TextOps {
 
   // ----------------------------------------------------- n-gram Jaccard dup
 
-  /** Direct n-gram Jaccard near-dup over a bucketed join (prefix bucket on
-    * the first shingle hash keeps it from the full cross product). */
-  def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame =
-    dedupMinhash(docs, threshold) // same exact output; LSH is the scale path
+  /** Direct (non-probabilistic) n-gram Jaccard near-dup via PREFIX
+    * FILTERING (Bayardo/Chaudhuri-style set-similarity join): sort each
+    * doc's hashed 3-shingle set under one global order, emit only the first
+    * `|S| - ceil(t*|S|) + 1` tokens as join keys — any pair with jaccard >=
+    * t must share a token in BOTH prefixes, so joining prefix-to-prefix is
+    * a lossless candidate filter. Candidates are then verified with the
+    * exact set jaccard, making the output identical to dedupMinhash (which
+    * this is test-pinned against) and to the cross-join DuckDB oracle —
+    * but with zero probabilistic machinery: this is the exact-guarantee
+    * path when LSH's (tiny) miss probability is not acceptable. At 100 TB:
+    * join keys are 8-byte hashes; prefix length shrinks as threshold rises
+    * (t=0.8 keeps ~20% of tokens); AQE handles hot-token skew. */
+  def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+    val corpus = nearDupCorpus(docs)
+      .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
+      .filter(size(col("sh")) > 0)
+    val prefixLen = (size(col("sh")) -
+      ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
+    val tokens = corpus
+      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val cands = tokens.as("a").join(tokens.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    cands
+      .join(corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
 
   // --------------------------------------------------------------- simhash
 

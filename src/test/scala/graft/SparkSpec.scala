@@ -295,6 +295,18 @@ class SparkSpec extends AnyFunSuite {
     assert(full.nonEmpty)
   }
 
+  test("dedupNgramJaccard: prefix-filter join matches the LSH path exactly, no minhash in plan") {
+    val docs = graft.spark.DocsTables.documents(spark, sf)
+    val ngram = graft.spark.TextOps.dedupNgramJaccard(docs)
+    val plan = ngram.queryExecution.executedPlan.toString
+    assert(!plan.contains("minhash"), "prefix-filter path must not use minhash")
+    val a = ngram.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val b = graft.spark.TextOps.dedupMinhash(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(a == b, s"ngram=${a.size} lsh=${b.size}; onlyNgram=${(a -- b).take(3)} onlyLsh=${(b -- a).take(3)}")
+    assert(a.nonEmpty)
+  }
+
   test("dedupClusters: labels are exact connected components of the pair graph") {
     val docs = graft.spark.DocsTables.documents(spark, sf)
     val pairs = graft.spark.TextOps.dedupMinhash(docs)
