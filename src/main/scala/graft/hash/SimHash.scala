@@ -12,8 +12,14 @@ object SimHash {
     * adaptive min length to keep >= length/2 tokens.
     *
     * Index-scan implementation (no regex split, no per-token reverse/
-    * dropWhile copies, single filter pass): byte-identical output to the
-    * split("\\s+") + dropWhile.reverse form — the fingerprint phase was
+    * dropWhile copies, single filter pass). Token boundary is
+    * `Character.isWhitespace`, which is a WIDER class than the old ASCII
+    * regex `\s`: text containing U+2028/U+3000/U+001C-1F tokenizes
+    * differently than pre-r3 builds (fingerprints for such docs differ from
+    * previously persisted state). This is intentional — the reference splits
+    * with Python's `str.split()`, whose no-arg whitespace class is the
+    * Unicode one, so isWhitespace is the higher-fidelity port. For ASCII-
+    * whitespace text the output is unchanged. The fingerprint phase was
     * ~20 KB/doc of allocation, which matters because the kernel is
     * memory-bandwidth-bound at high core counts (AllocProf). */
   def sampleTokens(input: String, length: Int = 64): List[String] = {

@@ -517,8 +517,14 @@ object Metadata {
     all.toMap
   }
 
+  // three alternatives: Y-M-D (unambiguous), D.M.Y (dotted = European
+  // day-first convention, htmldate's own reading), and A/B/Y (slashed —
+  // genuinely ambiguous between EU D/M/Y and US M/D/Y, resolved below by an
+  // ambiguity gate: accept only when exactly one reading is a valid date)
   private val NumericDate = Pattern.compile(
-    "(?<!\\d)(\\d{4})[-/.](\\d{1,2})[-/.](\\d{1,2})(?!\\d)|(?<!\\d)(\\d{1,2})[./](\\d{1,2})[./](\\d{4})(?!\\d)")
+    "(?<!\\d)(\\d{4})[-/.](\\d{1,2})[-/.](\\d{1,2})(?!\\d)" +
+      "|(?<!\\d)(\\d{1,2})\\.(\\d{1,2})\\.(\\d{4})(?!\\d)" +
+      "|(?<!\\d)(\\d{1,2})/(\\d{1,2})/(\\d{4})(?!\\d)")
   private val TextualDate = Pattern.compile(
     "(?iu)(?:(\\d{1,2})\\.?\\s+)?(\\p{L}+)\\.?\\s+(\\d{1,2})?,?\\s*(\\d{4})")
 
@@ -549,10 +555,26 @@ object Metadata {
           if (piece != null && piece.length >= 6 && piece.exists(_.isDigit)) {
             val m = graft.text.Re.m(NumericDate, piece)
             while (found == null && m.find()) {
-              val (y, mo, d) =
-                if (m.group(1) != null) (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
-                else (m.group(6).toInt, m.group(5).toInt, m.group(4).toInt)
-              if (validDate(y, mo, d)) found = f"$y%04d-$mo%02d-$d%02d"
+              if (m.group(1) != null) {
+                val (y, mo, d) = (m.group(1).toInt, m.group(2).toInt, m.group(3).toInt)
+                if (validDate(y, mo, d)) found = f"$y%04d-$mo%02d-$d%02d"
+              } else if (m.group(4) != null) {
+                // dotted: day-first (European convention; htmldate reads
+                // 24.12.2018 as DD.MM.YYYY)
+                val (y, mo, d) = (m.group(6).toInt, m.group(5).toInt, m.group(4).toInt)
+                if (validDate(y, mo, d)) found = f"$y%04d-$mo%02d-$d%02d"
+              } else {
+                // slashed: ambiguous D/M/Y vs M/D/Y — accept only when the
+                // two readings agree (a==b) or exactly one is valid
+                // (e.g. 15/04/2024 must be day-first); 03/04/2024 is skipped
+                val a = m.group(7).toInt
+                val b = m.group(8).toInt
+                val y = m.group(9).toInt
+                val dayFirst = validDate(y, b, a)
+                val monthFirst = validDate(y, a, b)
+                if (dayFirst && (!monthFirst || a == b)) found = f"$y%04d-$b%02d-$a%02d"
+                else if (monthFirst && !dayFirst) found = f"$y%04d-$a%02d-$b%02d"
+              }
             }
             if (found == null) {
               val t = graft.text.Re.m(TextualDate, piece)

@@ -92,10 +92,19 @@ object HtmlParser {
         // `br` payloads carry no magic bytes; malformed input throws fast
         // and falls through to the raw bytes). A non-empty input decoding
         // to an empty stream is a short-input coincidence, not a page.
-        try {
-          val d = Brotli.decompress(bytes)
-          if (d.isEmpty && bytes.nonEmpty) bytes else d
-        } catch { case _: BrotliException | _: ArrayIndexOutOfBoundsException => bytes }
+        // Size gate: 64 MB (3x the reference's 20 MB MAX_FILE_SIZE) — the
+        // decoder sizes working buffers from input.length, so a pathological
+        // half-GB payload must stay on the raw path rather than risk a
+        // non-BrotliException allocation failure. NonFatal keeps "not
+        // brotli" the failure mode for any other unchecked decoder escape
+        // (OutOfMemoryError stays fatal by design — it is not a per-row
+        // condition a kernel should swallow).
+        if (bytes.length > (1 << 26)) bytes
+        else
+          try {
+            val d = Brotli.decompress(bytes)
+            if (d.isEmpty && bytes.nonEmpty) bytes else d
+          } catch { case scala.util.control.NonFatal(_) => bytes }
       }
     strictDecode(content, java.nio.charset.StandardCharsets.UTF_8).getOrElse {
       // detect_encoding analogue (utils.py:99-157, cchardet cascade over the

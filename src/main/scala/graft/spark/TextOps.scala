@@ -74,8 +74,13 @@ object TextOps {
 
   // ------------------------------------------------------------ language id
 
-  /** n-gram/stopword-profile language heuristic: argmax over per-language
-    * stopword hit counts, deterministic tie-break en>de>es>fr>und. */
+  /** SQL-surface language heuristic: argmax over per-language stopword hit
+    * counts, deterministic tie-break en>de>es>fr>und. This 4-language toy is
+    * the ORACLE-CHECKABLE CONTRACT (every branch is expressible in DuckDB
+    * SQL, so the driver verifies it cell-exact); the KERNEL's classifier —
+    * what `language_filter` actually runs inside extraction — is the real
+    * character-trigram profile model in `graft.extract.LangId` (12 Latin
+    * profiles + 7 script ranges, margin-gated; LangIdSpec). */
   def langId(docs: DataFrame): DataFrame = {
     val w = words(col("text"))
     def score(s: Seq[String]) = size(filter(w, t => t.isin(s: _*)))
@@ -284,28 +289,53 @@ object TextOps {
     * left join, so per-round cost is O(pairs), not O(corpus). At 100 TB
     * the contracted edge set shrinks monotonically and every join key is
     * an 8-byte id; AQE handles the skew a mega-component would create. */
-  def dedupClusters(docs: DataFrame, threshold: Double = 0.8,
-      maxIters: Int = 20): DataFrame = {
-    val pairs = dedupMinhash(docs, threshold)
-      .select(col("id_a").as("a"), col("id_b").as("b"))
-    // localCheckpoint truncates lineage each round — without it the flatten
-    // self-join doubles the logical plan per iteration and analysis blows up
-    // exponentially. On a real cluster swap in reliable checkpointing
-    // (sc.setCheckpointDir + .checkpoint) for executor-loss tolerance.
-    var edges = pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint(true)
+  /** Convergence/robustness facts of a connectedComponents run. */
+  final case class ClusterStats(converged: Boolean, rounds: Int, residualEdges: Long)
+
+  /** Connected components over an (a, b) long-keyed edge DataFrame via star
+    * contraction + pointer-hop label flatten (see dedupClusters scaladoc for
+    * the algorithm). Returns (labels(doc_id, label), stats).
+    *
+    * Checkpointing: lineage MUST be truncated each round — the flatten
+    * self-join doubles the logical plan per iteration and analysis blows up
+    * exponentially (hard-won; PLANS.md). `checkpointDir = None` uses
+    * `localCheckpoint` (executor-block storage: fast, but a lost executor
+    * mid-iteration kills the job — fine on a single box); pass
+    * `Some(dir)` on a real cluster for RELIABLE checkpointing
+    * (sc.setCheckpointDir + .checkpoint to shared storage, e.g. HDFS/S3):
+    * a multi-hour 100 TB clustering then survives executor loss, paying one
+    * distributed write per round of the (monotonically shrinking) edge set.
+    *
+    * Non-convergence: if maxIters rounds leave residual edges the PARTIAL
+    * labels are returned with `converged = false` instead of throwing — each
+    * partial cluster is a refinement of a true component (labels only ever
+    * merge), so downstream dedup keeps strictly more docs than the fixpoint
+    * would, never corrupts. At 100 TB, hours of work surviving as a usable
+    * refinement + a metric beats an exception. (maxIters = 20 covers any
+    * real graph: rounds are O(log d) in component diameter, so 20 rounds
+    * resolve diameters ~2^20 — non-convergence in practice means a
+    * pathologically low maxIters, as in the pinned test.) */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      checkpointDir: Option[String] = None): (DataFrame, ClusterStats) = {
+    val ckpt: DataFrame => DataFrame = checkpointDir match {
+      case Some(dir) =>
+        pairs.sparkSession.sparkContext.setCheckpointDir(dir)
+        df => df.checkpoint(eager = true)
+      case None => df => df.localCheckpoint(true)
+    }
+    var edges = ckpt(pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
     var nEdges = edges.count()
-    var labels = edges.select(col("a").as("doc_id")).distinct()
-      .select(col("doc_id"), col("doc_id").as("label")).localCheckpoint(true)
+    var labels = ckpt(edges.select(col("a").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label")))
     var iter = 0
     while (nEdges > 0 && iter < maxIters) {
       // contract both endpoints to their representatives, drop self-loops
       // (round 1 skips it: labels are still the identity map there)
-      val contracted = if (iter == 0) edges else edges
+      val contracted = if (iter == 0) edges else ckpt(edges
         .join(labels.select(col("doc_id").as("a"), col("label").as("la")), Seq("a"))
         .join(labels.select(col("doc_id").as("b"), col("label").as("lb")), Seq("b"))
         .select(col("la").as("a"), col("lb").as("b"))
-        .filter(col("a") =!= col("b")).distinct().localCheckpoint(true)
+        .filter(col("a") =!= col("b")).distinct())
       // every representative adopts its smallest neighboring representative
       val upd = contracted
         .select(greatest(col("a"), col("b")).as("label"), least(col("a"), col("b")).as("m"))
@@ -313,15 +343,25 @@ object TextOps {
       val stepped = labels.join(upd, Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("m"), col("label")).as("label"))
       // flatten one pointer hop: L := L∘L (this is what makes rounds O(log d))
-      val next = stepped.alias("s")
+      val next = ckpt(stepped.alias("s")
         .join(stepped.select(col("doc_id").as("label"), col("label").as("ll")).alias("t"),
           Seq("label"), "left")
-        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
+        .select(col("doc_id"), coalesce(col("ll"), col("label")).as("label")))
       nEdges = contracted.count()
       edges = contracted; labels = next; iter += 1
     }
-    require(nEdges == 0, s"dedupClusters did not converge in $maxIters rounds")
+    (labels, ClusterStats(nEdges == 0, iter, nEdges))
+  }
+
+  def dedupClusters(docs: DataFrame, threshold: Double = 0.8,
+      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+    val pairs = dedupMinhash(docs, threshold)
+      .select(col("id_a").as("a"), col("id_b").as("b"))
+    val (labels, stats) = connectedComponents(pairs, maxIters, checkpointDir)
+    if (!stats.converged)
+      Console.err.println(s"[dedupClusters] NOT CONVERGED after ${stats.rounds} " +
+        s"rounds (${stats.residualEdges} residual edges) — returning partial " +
+        "labels (a refinement of the true components)")
     // label the full corpus: members take their component min, singletons self
     nearDupCorpus(docs).select(col("doc_id").cast("long").as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
@@ -359,14 +399,33 @@ object TextOps {
     * path when LSH's (tiny) miss probability is not acceptable. At 100 TB:
     * join keys are 8-byte hashes; prefix length shrinks as threshold rises
     * (t=0.8 keeps ~20% of tokens); AQE handles hot-token skew. */
-  def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8): DataFrame = {
+  /** `tokenCap > 0` is the 100 TB hot-token guard (mirror of dedupMinhash's
+    * bucketCap): a prefix token shared by more than `tokenCap` docs would
+    * generate O(freq²) candidate pairs from one join key — the token list is
+    * computed once and removed by a broadcast anti-join. RECALL TRADE: unlike
+    * bucketCap (where a true pair collides in ~13 of 32 bands), the prefix
+    * filter is the ONLY candidate source here, so a pair whose every shared
+    * prefix token is hot is lost for good; at t=0.8 a near-dup pair shares
+    * ~20% of its tokens as prefix, so in practice loss needs a pair composed
+    * almost entirely of corpus-wide boilerplate shingles — exactly the pairs
+    * a dedup pipeline prefers to drop. Keep 0 for the exact oracle path. */
+  def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8,
+      tokenCap: Int = 0): DataFrame = {
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
     val prefixLen = (size(col("sh")) -
       ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
-    val tokens = corpus
+    val allTokens = corpus
       .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+    val tokens =
+      if (tokenCap <= 0) allTokens
+      else {
+        val hot = allTokens.groupBy(col("tok"))
+          .agg(count(lit(1)).as("tsz")).filter(col("tsz") > tokenCap)
+          .select(col("tok"))
+        allTokens.join(broadcast(hot), Seq("tok"), "left_anti")
+      }
     val cands = tokens.as("a").join(tokens.as("b"),
         col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()

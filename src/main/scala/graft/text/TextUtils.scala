@@ -243,9 +243,19 @@ object TextUtils {
   * single-threaded, and every use here completes before the pattern's next
   * use, so one matcher per (thread, pattern) is safe. */
 object Re {
+  /** CALL-SITE INVARIANT: the returned Matcher is the thread's ONE shared
+    * matcher for `p` — it must not be held across another `Re.m(p, _)` on
+    * the same pattern (e.g. calling a helper that also matches `p` from
+    * inside a `while (m.find())` loop): the nested reset would silently
+    * corrupt the outer iteration. All current call sites complete each
+    * matcher before the pattern's next use. To audit a new call site, run
+    * with `-Dgraft.re.fresh=true` (every call gets a fresh Matcher — any
+    * behavior difference vs the default pinpoints a violated invariant). */
+  private val fresh = java.lang.Boolean.getBoolean("graft.re.fresh")
   private val tl: ThreadLocal[java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]] =
     ThreadLocal.withInitial(() => new java.util.IdentityHashMap[Pattern, java.util.regex.Matcher]())
   def m(p: Pattern, s: CharSequence): java.util.regex.Matcher = {
+    if (fresh) return p.matcher(s)
     val map = tl.get()
     var mm = map.get(p)
     if (mm == null) { mm = p.matcher(""); map.put(p, mm) }

@@ -36,6 +36,16 @@ class LangIdSpec extends AnyFunSuite {
     assert(LangId.detect("وقالت اللجنة إن التقرير سينشر في الأسابيع المقبلة.") == "ar")
   }
 
+  test("margin gate abstains on unprofiled Latin-script languages") {
+    // da/ro/fi are OUTSIDE the 12 profiles: they score moderately against
+    // several near-neighbor profiles at once, so the runner-up margin gate
+    // abstains instead of confidently mislabeling (ADVICE r3) — the
+    // stopword fallback then gets the final say in languageClassifier
+    assert(LangId.detect("Udvalget meddelte, at rapporten vil blive offentliggjort i de kommende uger, og at alle resultater vil være tilgængelige for offentligheden.") == null)
+    assert(LangId.detect("Comitetul a declarat că raportul va fi publicat în săptămânile următoare și că toate rezultatele vor fi disponibile publicului.") == null)
+    assert(LangId.detect("Komitea ilmoitti, että raportti julkaistaan tulevina viikkoina ja että kaikki tulokset ovat yleisön saatavilla.") == null)
+  }
+
   test("abstains on empty / numeric input, falls back in languageClassifier") {
     assert(LangId.detect("") == null)
     assert(LangId.detect("12345 67890 ---") == null)

@@ -191,6 +191,14 @@ class MetadataSpec extends AnyFunSuite {
     // script timestamps and implausible values are not dates
     assert(dateOf("<html><body><script>var t='2023/10/05';</script><p>no date here</p></body></html>") == null)
     assert(dateOf("<html><body><p>version 3.10.1988 of 99.99.2023</p></body></html>") == null)
+    // slashed dates are ambiguous (EU D/M/Y vs US M/D/Y): accepted only when
+    // exactly one reading is valid or the two agree (ADVICE r3)
+    assert(dateOf("<html><body><p>Posted 15/04/2024</p></body></html>") == "2024-04-15")
+    assert(dateOf("<html><body><p>Posted 04/15/2024</p></body></html>") == "2024-04-15")
+    assert(dateOf("<html><body><p>Posted 03/04/2024</p></body></html>") == null)
+    assert(dateOf("<html><body><p>Posted 05/05/2024</p></body></html>") == "2024-05-05")
+    // dotted stays day-first (European convention, htmldate's reading)
+    assert(dateOf("<html><body><p>Posted 03.04.2024</p></body></html>") == "2024-04-03")
     // the TAIL after a script/style is rendered document text and DOES scan
     // (only the machine-timestamp body is skipped)
     assert(dateOf("<html><body><script>var x=1;</script>Published 2021-05-04<p>article</p></body></html>") == "2021-05-04")

@@ -482,6 +482,101 @@ class SparkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupNgramJaccard tokenCap: planted hot prefix tokens are dropped, job stays linear") {
+    import org.apache.spark.sql.functions._
+    // mirror of the bucketCap adversary: 2000 planted docs with IDENTICAL
+    // text — every prefix token is shared by all 4000 corpus copies, so the
+    // uncapped prefix join would generate O(freq²) candidate rows per token;
+    // the cap must anti-join those tokens out and leave normal pairs intact
+    val normal = DocsTables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val hot = spark.range(2000).select(
+      (col("id") + 500000L).as("doc_id"),
+      lit("exactly the same ten words of text in every planted document").as("text"))
+    val t0 = System.nanoTime()
+    val capped = graft.spark.TextOps.dedupNgramJaccard(normal.unionAll(hot), tokenCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSec = (System.nanoTime() - t0) / 1e9
+    val normalOnly = graft.spark.TextOps.dedupNgramJaccard(normal)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // planted pairs are lost by design (the documented recall trade: their
+    // every shared prefix token is hot); normal pairs survive untouched
+    assert(capped == normalOnly, s"capped=${capped.size} normalOnly=${normalOnly.size}")
+    assert(capped.nonEmpty)
+    assert(cappedSec < 120, s"capped run took ${cappedSec}s — cap not effective")
+  }
+
+  test("connectedComponents: maxIters hit returns partial refinement labels, converged=false") {
+    import spark.implicits._
+    // two disjoint chains (diameter 40 each): star contraction needs ~log d
+    // rounds, so maxIters=1 must leave residual edges
+    val chain = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
+      (100L until 140L).sliding(2).map(s => (s.head, s.last)).toSeq
+    val pairs = chain.toDF("a", "b")
+    val (labels, stats) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 1)
+    assert(!stats.converged && stats.residualEdges > 0 && stats.rounds == 1)
+    val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got.size == 80)
+    // partial labels are a REFINEMENT of the true components: labels only
+    // move down within a component, and the two chains never mix
+    got.foreach { case (d, l) =>
+      assert(l <= d, s"label $l above node $d")
+      assert((d < 100) == (l < 100), s"node $d labeled across components: $l")
+    }
+    // same graph, enough rounds: full convergence to the component minima
+    val (full, st2) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10)
+    assert(st2.converged && st2.residualEdges == 0)
+    val fixed = full.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    fixed.foreach { case (d, l) => assert(l == (if (d < 100) 0L else 100L), s"$d -> $l") }
+    // refinement formally: nodes sharing a partial label share a final label
+    got.groupBy(_._2).values.foreach { grp =>
+      assert(grp.keys.map(fixed).toSet.size == 1, s"partial cluster spans components: $grp")
+    }
+  }
+
+  test("dedupClusters: non-convergence yields partial labels, not an exception") {
+    import spark.implicits._
+    // the diameter-30 chain corpus from the O(log d) test, but maxIters=2:
+    // must return all 60 rows with valid partial labels instead of throwing
+    val words = (0 until 156).map(i => f"tok$i%04d")
+    val docs = (0 until 30).map(i => (i.toLong, words.slice(4 * i, 4 * i + 40).mkString(" ")))
+      .toDF("doc_id", "text")
+    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length == 60)
+    // partial labels are a refinement of the (single) true component: every
+    // label is a member doc's id, only moved downward
+    out.foreach { case (d, lbl) => assert(lbl <= d && lbl >= 0, s"$d -> $lbl") }
+    assert(out.exists { case (d, lbl) => lbl < d }, "no contraction at all happened")
+  }
+
+  test("connectedComponents: reliable checkpoint survives cached-block loss; localCheckpoint does not") {
+    import spark.implicits._
+    val pairs = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq.toDF("a", "b")
+    // local path: blocks live on 'executors' — dropping every persisted
+    // block after the run loses the data (lineage is truncated, so the
+    // re-collect cannot recompute; this is what executor loss does to a
+    // multi-hour clustering job mid-flight)
+    val (localLabels, _) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10)
+    localLabels.count()
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    intercept[Exception] { localLabels.collect() }
+    // reliable path: sc.setCheckpointDir + .checkpoint write each round to
+    // (shared, on a cluster) storage — the same block loss is survivable
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val (labels, stats) = graft.spark.TextOps.connectedComponents(
+      pairs, maxIters = 10, checkpointDir = Some(dir))
+    assert(stats.converged)
+    val first = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(first.size == 40 && first.values.forall(_ == 0L))
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+    val again = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(again == first, "post-block-loss re-read from the checkpoint dir diverged")
+    // and the checkpoint data actually landed on disk
+    def walk(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles.map(walk).sum else 1L
+    assert(walk(new java.io.File(dir)) > 0, s"no checkpoint files under $dir")
+  }
+
   test("watermarked windowed aggregation over the events stream") {
     import org.apache.spark.sql.functions._
     val dir = java.nio.file.Files.createTempDirectory("graft-events").toString
