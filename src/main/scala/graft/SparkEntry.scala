@@ -56,11 +56,35 @@ object SparkEntry {
     // simhash determinism shaped for SQL: identical texts under two ids must
     // fingerprint identically -> hamming 0, predictable without blake2b
     "simhash_fp" -> ((s, dir) => TextOps.simhashPairs(s, DocsTables.documents(s, dir))),
+    // --- end-to-end LLM-pipeline composition: extraction kernel -> near-dup
+    // pairs over the EXTRACTED text -> connected components -> canonical doc
+    // per cluster with member count. Proves the two halves compose; the
+    // kernel's extracted text is oracle-predictable (= documents.text), so
+    // DuckDB replays the whole chain with its recursive-CTE closure.
+    "pipeline_dedup" -> ((s, dir) => {
+      val txt = extracted(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+        element_at(filter(col("spans"), x => x.getField("kind") === "p"), 1)
+          .getField("text").as("text"))
+      TextOps.dedupClusters(txt)
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+        .select(col("cluster_id").as("keep_id"), col("n_members"))
+    }),
     // --- similarity search
     "ann_cosine" -> ((s, dir) =>
       TextOps.annCosineTopK(DocsTables.embeddings(s, dir))
         .withColumn("rank", col("rank").cast("long"))),
+    // the IVF scale path, pinned to the SAME oracle as brute: nProbe = nCells
+    // probes every cell, so candidates = the whole corpus and the ranking
+    // cosine is float-identical to annCosineTopK (see annCosineIvf scaladoc)
+    "ann_cosine_ivf" -> ((s, dir) =>
+      TextOps.annCosineIvf(DocsTables.embeddings(s, dir), nCells = 16, nProbe = 16)
+        .withColumn("rank", col("rank").cast("long"))),
     "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5)),
+    // the SRP-LSH scale path's quality contract: n_exact is recomputed by
+    // DuckDB; precision/recall of the (fixed-seed, deterministic) LSH vs the
+    // exact pair set must clear the documented floors
+    "emb_lsh_recall" -> ((s, dir) => TextOps.embLshRecall(DocsTables.embeddings(s, dir))),
     // --- multimodal plumbing (binary blobs + typed metadata; stubbed codec)
     "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir)),
     // --- windowed analytics: gap-based sessionization over the events table
@@ -197,7 +221,15 @@ object SparkEntry {
     "dedup_minhash" -> TextOps.dedupMinhashOracle(),
     "dedup_ngram" -> TextOps.dedupMinhashOracle(),
     "dedup_clusters" -> TextOps.dedupClustersOracle(),
+    "pipeline_dedup" ->
+      s"""WITH clusters AS (
+         |  ${TextOps.dedupClustersOracle().replace("\n", "\n  ")}
+         |)
+         |SELECT cluster_id AS keep_id, COUNT(*) AS n_members
+         |FROM clusters GROUP BY cluster_id""".stripMargin,
     "ann_cosine" -> TextOps.annCosineOracle(),
+    "ann_cosine_ivf" -> TextOps.annCosineOracle(),
+    "emb_lsh_recall" -> TextOps.embLshRecallOracle(),
     "emb_near_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id
         |FROM embeddings a, embeddings b

@@ -77,6 +77,56 @@ object MultimodalOps {
     bos.toByteArray
   }
 
+  /** Deterministic frame count per video doc (SQL-predictable). */
+  def videoFrames(docId: Long): Int = (1 + docId % 4).toInt
+
+  /** Render a deterministic multi-frame animated GIF via the JDK encoder
+    * (ImageIO ships a GIF writer with sequence support in every JRE). The
+    * closest in-JDK stand-in for a real video container: one file, many
+    * frames, decoded frame-by-frame. Same inputs → byte-identical output. */
+  def gifBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < nFrames) {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, ((seed * 31 + f * 101 + x * 7 + y * 13) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    bos.toByteArray
+  }
+
+  /** Real frame-level video-container decode: the JDK GIF reader. Returns
+    * (width, height, nFrames) or None when not decodable. `getNumImages
+    * (true)` walks every frame in the stream — a real decode, not metadata
+    * trust. */
+  def decodeGif(blob: Array[Byte]): Option[(Int, Int, Int)] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        reader.setInput(iis)
+        Some((reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true)))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+
   /** Real audio decode: JDK javax.sound.sampled. Returns
     * (sampleRate, frameCount) or None when the payload is not decodable. */
   def decodeAudio(blob: Array[Byte]): Option[(Int, Long)] =
@@ -91,10 +141,10 @@ object MultimodalOps {
     }
 
   /** Deterministic media table synthesized from documents.parquet: image
-    * rows carry real PNG blobs, audio rows real 16-bit PCM WAV blobs (both
-    * encoded executor-side in the same typed map a production loader would
-    * use); video rows carry the text bytes as opaque payload stand-ins (no
-    * video codec in the JDK). kind cycles image/audio/video. */
+    * rows carry real PNG blobs, audio rows real 16-bit PCM WAV blobs, video
+    * rows real multi-frame animated GIFs (all encoded executor-side in the
+    * same typed map a production loader would use, all decoded back with the
+    * real JDK codec). kind cycles image/audio/video. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
     DocsTables.documents(spark, sfDir)
@@ -109,7 +159,9 @@ object MultimodalOps {
           m.copy(blob = pngBytes(imgWidth(m.doc_id), imgHeight(m.doc_id), m.doc_id))
         else if (m.media_kind == "audio")
           m.copy(blob = wavBytes(audioSampleRate(m.doc_id), audioNumSamples(m.doc_id), m.doc_id))
-        else m
+        else
+          m.copy(blob = gifBytes(imgWidth(m.doc_id), imgHeight(m.doc_id),
+            videoFrames(m.doc_id), m.doc_id))
       })
   }
 
@@ -125,42 +177,43 @@ object MultimodalOps {
     out
   }
 
-  /** Frame sampling STUB for video rows: 1 + doc_id % 4 frames. */
-  def frameCountStub(docId: Long): Int = (1 + docId % 4).toInt
-
   /** decode + feature-extract as one typed per-partition pass. Image rows go
     * through the real ImageIO decoder, audio rows through the real
-    * javax.sound.sampled WAV decoder; video rows report no dimensions (-1)
-    * and keep the stub features (only video remains stubbed — no codec in
-    * the JDK). */
+    * javax.sound.sampled WAV decoder, video rows through the real JDK GIF
+    * frame reader (dimensions + per-frame walk for n_frames). The only
+    * remaining stub is the FEATURIZER for video content (featureStub — no
+    * pixel-semantic model in the JDK); every decode is real. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
       iter.map { m =>
-        val (w, h) =
-          if (m.media_kind == "image") decodeImage(m.blob).getOrElse((-2, -2))
-          else (-1, -1)
+        val (w, h, nf) = m.media_kind match {
+          case "image" =>
+            val (iw, ih) = decodeImage(m.blob).getOrElse((-2, -2))
+            (iw, ih, 1)
+          case "video" => decodeGif(m.blob).getOrElse((-2, -2, -2))
+          case _ => (-1, -1, 1)
+        }
         val (sr, ns) =
           if (m.media_kind == "audio") decodeAudio(m.blob).getOrElse((-2, -2L))
           else (-1, -1L)
-        MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, w, h,
-          if (m.media_kind == "video") frameCountStub(m.doc_id) else 1,
+        MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, w, h, nf,
           sr, ns, featureStub(m.blob).toSeq)
       }
     }
   }
 
-  /** Oracle-checkable projection: kind/frames are deterministic functions of
-    * the source row; width/height for image rows verify the PNG
-    * encode→ImageIO-decode roundtrip and sample_rate/n_samples for audio
-    * rows the WAV encode→javax.sound-decode roundtrip, both against
-    * closed-form values; blob_len is only predictable for the opaque
-    * (video) payloads. */
+  /** Oracle-checkable projection: every non-sentinel value verifies a real
+    * encode→JDK-decode roundtrip against a closed-form prediction —
+    * width/height for image (PNG/ImageIO) AND video (GIF frame reader) rows,
+    * n_frames for video rows (per-frame `getNumImages(true)` walk),
+    * sample_rate/n_samples for audio (WAV/javax.sound) rows. No payload's
+    * byte length is closed-form anymore (all three kinds are real encodes),
+    * so blob_len is normalized out of the oracle projection. */
   def mediaFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     extractFeatures(mediaTable(spark, sfDir))
       .toDF()
       .select(col("doc_id"), col("media_kind"),
-        when(col("media_kind") === "video", col("blob_len")).otherwise(lit(-1L)).as("blob_len"),
         col("width").cast("long"), col("height").cast("long"),
         col("n_frames").cast("long"),
         col("sample_rate").cast("long"), col("n_samples").cast("long"))
@@ -169,9 +222,8 @@ object MultimodalOps {
   val mediaFeaturesOracle: String =
     """SELECT doc_id,
       | CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_kind,
-      | CAST(CASE WHEN doc_id % 3 = 2 THEN length(text) ELSE -1 END AS BIGINT) AS blob_len,
-      | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 32 ELSE -1 END AS BIGINT) AS width,
-      | CAST(CASE WHEN doc_id % 3 = 0 THEN 16 + doc_id % 29 ELSE -1 END AS BIGINT) AS height,
+      | CAST(CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 32 ELSE -1 END AS BIGINT) AS width,
+      | CAST(CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 29 ELSE -1 END AS BIGINT) AS height,
       | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END AS BIGINT) AS n_frames,
       | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE -1 END AS BIGINT) AS sample_rate,
       | CAST(CASE WHEN doc_id % 3 = 1 THEN 400 + doc_id % 100 ELSE -1 END AS BIGINT) AS n_samples

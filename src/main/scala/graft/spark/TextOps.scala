@@ -562,12 +562,48 @@ object TextOps {
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
         col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
       .dropDuplicates("a_id", "b_id")
-    val dot = call_function("vec_dot", col("a_emb"), col("b_emb"))
-    val norm = (c: Column) => sqrt(call_function("vec_dot", c, c))
-    cand.select(col("a_id"), col("b_id"), (dot / (norm(col("a_emb")) * norm(col("b_emb")))).as("cos"))
+    // verify with the SAME float formulation as embeddingNearDup (normalize
+    // each side, then dot): every emitted pair satisfies the exact path's
+    // predicate bit-for-bit, so precision vs the exact set is exactly 1
+    cand.select(col("a_id"), col("b_id"),
+        dotCol(unitVec(col("a_emb")), unitVec(col("b_emb"))).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
   }
+
+  /** Oracle-checkable quality contract for the SRP-LSH scale path: one row
+    * with the exact-pair count (DuckDB recomputes it), `precision_ok` (LSH
+    * emitted no pair outside the exact set — guaranteed by construction, the
+    * verify step applies the exact predicate) and `recall_ok` (LSH found at
+    * least `recallFloor` of the exact pairs — deterministic: hyperplanes are
+    * fixed-seed, so the driver hash-compares TRUE/TRUE stably). */
+  def embLshRecall(embeddings: DataFrame, threshold: Double = 0.35,
+      cap: Int = 2000, recallFloor: Double = 0.9): DataFrame = {
+    val exact = embeddingNearDup(embeddings, threshold, cap)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
+    // 24 tables: probed recall 0.98-0.99 at t=0.35 on the synthetic
+    // embeddings (0.69 at the default 8 — recall/cost is THE tunable here);
+    // the floor keeps ~8 points of margin for corpus drift
+    val lsh = embeddingNearDupLsh(embeddings.filter(col("vec_id") < cap), threshold,
+        tables = 24)
+      .select(col("a_id"), col("b_id"), lit(1).as("in_lsh"))
+    exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0)).cast("long").as("n_exact"),
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_lsh").isNotNull, 1)), lit(0))
+          .cast("double").as("n_hit"),
+        coalesce(sum(when(col("in_exact").isNull, 1)), lit(0)).as("n_false"))
+      .select(col("n_exact"),
+        (col("n_false") === 0).as("precision_ok"),
+        (col("n_hit") / col("n_exact") >= recallFloor).as("recall_ok"))
+  }
+
+  def embLshRecallOracle(threshold: Double = 0.35, cap: Int = 2000): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+       |  TRUE AS precision_ok, TRUE AS recall_ok
+       |FROM embeddings a, embeddings b
+       |WHERE a.vec_id < b.vec_id AND a.vec_id < $cap AND b.vec_id < $cap
+       |  AND list_cosine_similarity(a.embedding, b.embedding) >= $threshold""".stripMargin
 
   /** IVF-style ANN: coarse quantizer = the first `nCells` vectors as fixed
     * centroids (deterministic); vectors are assigned to their nearest
@@ -609,17 +645,19 @@ object TextOps {
       struct((-dotLit(cn)).as("negd"), lit(id).as("cell_id"))
     }: _*))
     val probes = base.filter(col("vec_id") < nQueries)
-      .select(col("vec_id").as("qid"), col("embedding"),
+      .select(col("vec_id").as("qid"), unitVec(col("embedding")).as("qu"),
         explode(slice(probeStructs, 1, nProbe)).as("pr"))
-      .select(col("qid"), col("embedding").as("qvec"), col("pr.cell_id").as("cell_id"))
-    val dot = (a: Column, b: Column) => call_function("vec_dot", a, b)
-    val norm = (c: Column) => sqrt(call_function("vec_dot", c, c))
-    val cos = (a: Column, b: Column) => dot(a, b) / (norm(a) * norm(b))
-    // rank candidates inside probed cells (the one genuine shuffle)
+      .select(col("qid"), col("qu"), col("pr.cell_id").as("cell_id"))
+    // rank candidates inside probed cells (the one genuine shuffle). The
+    // ranking cosine uses the SAME float formulation as annCosineTopK
+    // (normalize each side, then dot) so an nProbe = nCells configuration is
+    // bit-identically the brute-force result — which is how the driver
+    // oracle pins this scale path (SparkEntry "ann_cosine_ivf").
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("nid").asc)
     probes.join(assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("nid"), cos(col("qvec"), col("embedding")).as("cos"))
+      .select(col("qid"), col("vec_id").as("nid"),
+        dotCol(col("qu"), unitVec(col("embedding"))).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"))

@@ -226,6 +226,22 @@ class SparkSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: video rows decode with the real JDK GIF frame reader") {
+    import graft.spark.MultimodalOps
+    val rows = MultimodalOps.mediaTable(spark, sf)
+      .filter(_.media_kind == "video").take(10)
+    assert(rows.nonEmpty)
+    rows.foreach { m =>
+      // GIF89a magic: the blob is a real animated-GIF payload
+      assert(m.blob(0) == 'G'.toByte && m.blob(1) == 'I'.toByte &&
+        m.blob(2) == 'F'.toByte, m.doc_id)
+      val (w, h, nf) = MultimodalOps.decodeGif(m.blob).get
+      assert(w == MultimodalOps.imgWidth(m.doc_id), s"doc ${m.doc_id} width")
+      assert(h == MultimodalOps.imgHeight(m.doc_id), s"doc ${m.doc_id} height")
+      assert(nf == MultimodalOps.videoFrames(m.doc_id), s"doc ${m.doc_id} frames")
+    }
+  }
+
   test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
     val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = graft.spark.TextOps.embeddingNearDup(emb, 0.3, cap = 500)
