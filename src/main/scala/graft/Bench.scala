@@ -5,8 +5,8 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":<sec>,"unit":"sec","queries":{...},"sf":...,
   *  "extract":{"docs":N,"docs_per_sec":...},
-  *  "scaling":{"cpus_lo":4,"cpus_hi":16,"docs_per_sec_lo":...,
-  *             "docs_per_sec_hi":...,"efficiency":...,"legs":[...]}}
+  *  "scaling":{"cpus_lo":2,"cpus_hi":8,"efficiency":...,"quiet":...,
+  *             "levels":[...],"legs":[...]}}
   *
   * The scaling block is the sandbox evidence for the north rule's N vs 4N
   * criterion (BASELINE.md): the identical extraction job over identical
@@ -15,23 +15,32 @@ import org.apache.spark.sql.SparkSession
   * 4 -> 16 pair, the full 2/4/8/16/32 kernel-µs/doc contention curve, and
   * every raw leg are published alongside.
   *
-  * Measurement design (r3, after the r2 driver snapshot published a
-  * collapsed outlier as the headline):
+  * Measurement design (r4 — after the r3 driver snapshot computed its
+  * headline from best-of-possibly-contended legs and under-reported):
   *  - each level runs in a CHILD JVM pinned with `taskset -c 0-(N-1)`, so
   *    GC/JIT/OS threads are confined to the same N cores as the Spark
   *    workers — the honest N-core-executor emulation (in-JVM local[N] on a
-  *    32-core host lets the idle cores assist GC, inflating small-N
-  *    throughput and understating scaling efficiency; the JVM sizes its GC
+  *    32-core host lets the idle cores assist GC; the JVM sizes its GC
   *    thread pool from the affinity mask);
   *  - levels are interleaved palindromically (2,4,8,16,32,32,16,8,4,2),
-  *    two timed runs per child → 4 legs per level; host noise minutes apart
-  *    hits levels evenly;
-  *  - collapse detection: per-doc kernel wall (sum(kernel_us)/docs) is flat
-  *    across levels when the host is quiet (≤ ~1.3× at 16 lanes from memory-
-  *    bandwidth contention — see BASELINE.md); a leg whose kernel µs/doc
-  *    exceeds 2× the quietest leg was descheduled by external load and is
-  *    rejected. A level left with no clean leg is re-run (up to 2 extra
-  *    children) instead of publishing the outlier;
+  *    three timed runs per child; host noise minutes apart hits levels
+  *    evenly;
+  *  - a level is only ACCEPTED when it produces a QUIET WINDOW: K=3
+  *    consecutive clean legs whose throughput spread (max/min - 1) is
+  *    within 10%. "Clean" = the leg's kernel µs/doc is within 2x of the
+  *    level's own quietest leg (a descheduled leg inflates per-doc kernel
+  *    wall; the threshold is per-level because busier lane counts inflate
+  *    µs/doc legitimately via the measured DRAM ceiling). A level with no
+  *    quiet window re-runs (bounded children + wall budget) instead of
+  *    publishing a contended number;
+  *  - the level's published throughput is the MEDIAN of its best quiet
+  *    window — not the best single leg (r3's estimator), which a lucky
+  *    scheduling gap can inflate and a contended window can deflate;
+  *  - the headline `efficiency` is REFUSED (null) unless both primary
+  *    levels (2 and 8) are quiet; the best-effort number is still published
+  *    as `efficiency_unquiet` so a contended driver window fails loudly
+  *    rather than under-reporting (r3: driver raw 0.735 vs three quiet
+  *    validation runs at 0.863-0.884 — same code);
   *  - every leg lands in the JSON (`legs`) so an outlier self-identifies.
   * Falls back to in-process local[N] sessions if child spawn/taskset fails
   * (flagged `"pinned":false`). */
@@ -54,6 +63,10 @@ object Bench {
       kernelCoreSec: Double, pinned: Boolean) {
     def kernelUsPerDoc: Double = if (docs == 0) Double.NaN else kernelCoreSec * 1e6 / docs
   }
+
+  /** Accepted summary of one parallelism level. */
+  final case class Level(cpus: Int, tput: Double, sec: Double, usPerDoc: Double,
+      quiet: Boolean, spread: Double, legsUsed: Int, children: Int)
 
   /** Spawn `taskset -c 0-(cpus-1) java … graft.tools.ScaleLevel cpus` and
     * parse its LEVEL lines. Returns Nil on any failure. */
@@ -115,27 +128,95 @@ object Bench {
     legs
   }
 
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.isEmpty) Double.NaN
+    else if (s.length % 2 == 1) s(s.length / 2)
+    else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  /** Quiet-window size, tput spread bound, and per-level clean factor. */
+  private val K = 3
+  private val SpreadBound = 0.10
+  private val CleanFactor = 2.0
+
+  /** Legs of one level that are clean (kernel µs/doc within CleanFactor of
+    * the level's own quietest leg — collapse detection). */
+  private def cleanLegs(of: Seq[Leg]): Seq[Leg] = {
+    val ks = of.map(_.kernelUsPerDoc).filterNot(_.isNaN)
+    if (ks.isEmpty) return Nil
+    val ref = ks.min
+    of.filter(l => !l.kernelUsPerDoc.isNaN && l.kernelUsPerDoc <= CleanFactor * ref)
+  }
+
+  /** Best quiet window: K CONSECUTIVE clean legs (measurement order) whose
+    * tput spread is within SpreadBound; pick the window with the highest
+    * median tput. None when the level never went quiet. */
+  private def quietWindow(of: Seq[Leg]): Option[Seq[Leg]] = {
+    val clean = cleanLegs(of)
+    if (clean.length < K) return None
+    val windows = clean.sliding(K).filter { w =>
+      val ts = w.map(_.tput)
+      ts.max / ts.min - 1.0 <= SpreadBound
+    }.toSeq
+    if (windows.isEmpty) None else Some(windows.maxBy(w => median(w.map(_.tput))))
+  }
+
+  /** Summarize a level from its legs: quiet-window median if quiet, else
+    * the median of the K highest-tput clean legs flagged quiet=false. */
+  private def summarize(cpus: Int, of: Seq[Leg], children: Int): Level = {
+    // runner produced nothing at this level (child spawn AND in-process
+    // fallback both failed): degrade to zeros — NaN would break the JSON
+    if (of.isEmpty) return Level(cpus, 0.0, 0.0, 0.0, quiet = false, 0.0, 0, children)
+    quietWindow(of) match {
+      case Some(w) =>
+        val ts = w.map(_.tput)
+        Level(cpus, median(ts), median(w.map(_.sec)), median(w.map(_.kernelUsPerDoc)),
+          quiet = true, spread = ts.max / ts.min - 1.0, legsUsed = w.length, children)
+      case None =>
+        val fall = {
+          val c = cleanLegs(of)
+          (if (c.nonEmpty) c else of).sortBy(-_.tput).take(K)
+        }
+        val ts = fall.map(_.tput)
+        val us = fall.map(_.kernelUsPerDoc).filterNot(_.isNaN)
+        Level(cpus, median(ts), median(fall.map(_.sec)),
+          if (us.isEmpty) 0.0 else median(us),
+          quiet = false,
+          spread = if (ts.min <= 0) -1.0 else ts.max / ts.min - 1.0,
+          legsUsed = fall.length, children)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    val queryRuns = sys.env.getOrElse("SPARK_GRAFT_QUERY_RUNS", "3").toInt
 
+    // ---- query bench: per-query repeat, MEDIAN published + spread (one run
+    // cannot tell a regression from host noise — r3's tpch_top_orders "3x")
     var spark = session(cpus)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // untimed warmup at sf0.001: plan codegen + broadcast init otherwise
-      // lands entirely on the alphabetically-first query; the timed run
-      // below is steady-state
+      // lands entirely on the alphabetically-first query
       try { fn(spark, "/root/testdata/sf0.001").count() } catch { case _: Throwable => () }
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to queryRuns).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      // spread sentinel -1 when a run errored (a NaN would break the JSON)
+      (name, median(times), if (times.min > 0) times.max / times.min - 1.0 else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = results.map { case (k, v, _) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qspread = results.map { case (k, _, sp) => "\"" + k + f"\":$sp%.2f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
 
     // extraction workload sized so the low-parallelism run is tens of
     // seconds of real kernel work — small runs measure job-fixed overhead
     val nDocsBase = spark.read.parquet(s"$sfDir/documents.parquet").count()
-    val factor = math.max(1, (400000 / math.max(1L, nDocsBase)).toInt)
+    val factor = sys.env.get("SPARK_GRAFT_FACTOR").map(_.toInt)
+      .getOrElse(math.max(1, (400000 / math.max(1L, nDocsBase)).toInt))
     spark.stop()
     System.gc(); Thread.sleep(500)
 
@@ -144,96 +225,84 @@ object Bench {
       if (pinned.nonEmpty) pinned else runInProcessLevel(c, runs, sfDir, factor)
     }
 
-    val loC = 4
-    val hiC = 16
-    val fullC = 32
+    val allLevels = Seq(2, 4, 8, 16, 32)
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
+    val childCount = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
+    def runChild(c: Int): Unit = { legs ++= runner(c, K); childCount(c) += 1 }
     // palindrome interleave: drift in host load hits the levels evenly.
     // 2 and 8 measure the same N->4N criterion on a pair where BOTH legs sit
     // under this host's shared-memory-bandwidth knee (~84 GB/s, saturated
     // from ~10 busy cores — BASELINE.md): the multi-node story adds memory
     // channels with nodes, so the 2->8 pair isolates the pipeline's scaling
     // from the single-box memory ceiling that 16+ lanes hit.
-    // the primary pair gets the most sampling (3 runs per child)
-    Seq(2 -> 3, loC -> 2, 8 -> 3, hiC -> 2, fullC -> 2,
-        fullC -> 2, hiC -> 2, 8 -> 3, loC -> 2, 2 -> 3)
-      .foreach { case (c, r) => legs ++= runner(c, r) }
+    (allLevels ++ allLevels.reverse).foreach(runChild)
 
-    // collapse re-runs: a level with no leg whose kernel µs/doc is within 2x
-    // of the quietest leg anywhere was hit by external load — measure again
-    var extra = 0
-    // quietest kernel µs/doc anywhere; +Inf when nothing usable was measured
-    // (e.g. docs=0 -> NaN everywhere) so the bench degrades instead of
-    // crashing on empty.min
-    def quietestUs: Double = {
-      val ks = legs.map(_.kernelUsPerDoc).filterNot(_.isNaN)
-      if (ks.isEmpty) Double.PositiveInfinity else ks.min
-    }
-    Seq(2, loC, 8, hiC, fullC).foreach { c =>
-      var attempts = 0
-      while (attempts < 2 && {
-        val ref = quietestUs
-        !legs.exists(l => l.cpus == c &&
-          (l.kernelUsPerDoc <= 2 * ref || ref.isInfinity))
-      }) { legs ++= runner(c, 2); attempts += 1; extra += 1 }
+    // quietness re-runs: a level without a K-leg in-spread clean window was
+    // measured through host contention — measure again rather than publish
+    // it, bounded by children-per-level and a wall budget. Primary levels
+    // (2, 8) are retried first and get the deeper retry allowance.
+    val deadline = System.nanoTime() +
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "900").toLong * 1000000000L
+    def levelLegs(c: Int) = legs.filter(_.cpus == c).toSeq
+    for (c <- Seq(2, 8, 4, 16, 32)) {
+      val maxChildren = if (c == 2 || c == 8) 6 else 4
+      while (quietWindow(levelLegs(c)).isEmpty && childCount(c) < maxChildren &&
+        System.nanoTime() < deadline) runChild(c)
     }
 
-    val refUs = quietestUs
-    def best(c: Int): Leg = {
-      val of = legs.filter(_.cpus == c)
-      require(of.nonEmpty, s"no legs measured at $c cores — runner returned nothing")
-      val ok = of.filter(_.kernelUsPerDoc <= 2 * refUs)
-      (if (ok.nonEmpty) ok else of).maxBy(_.tput)
-    }
-    val lo = best(loC)
-    val hi = best(hiC)
-    val full = best(fullC)
-    val lo2 = best(2)
-    val hi8 = best(8)
-    // PRIMARY north-rule pair: N=2 -> 4N=8. Both legs sit under this host's
-    // shared-memory-bandwidth knee, so the pair measures the PIPELINE's
-    // scaling; 4->16 is reported alongside — its raw ratio is capped by the
-    // single-box DRAM ceiling (the kernel µs/doc curve across 2/4/8/16/32
-    // lanes below is the direct evidence), which a multi-node cluster does
-    // not share (memory channels scale with nodes). All legs are published.
-    val efficiency416 = hi.tput / ((hiC.toDouble / loC) * lo.tput)
-    val efficiency = hi8.tput / (4.0 * lo2.tput)
-    val efficiency8x = full.tput / ((fullC.toDouble / loC) * lo.tput)
+    val lv: Map[Int, Level] =
+      allLevels.map(c => c -> summarize(c, levelLegs(c), childCount(c))).toMap
+    val lo2 = lv(2); val lo4 = lv(4); val hi8 = lv(8); val hi16 = lv(16); val full = lv(32)
+    // PRIMARY north-rule pair: N=2 -> 4N=8 (see the palindrome comment).
+    // The headline is REFUSED unless both its legs come from quiet windows.
+    val quietPair = lo2.quiet && hi8.quiet
+    // guarded division: a degenerate zero level yields 0.0, not Inf/NaN
+    def sdiv(a: Double, b: Double): Double = if (b > 0) a / b else 0.0
+    val efficiency = sdiv(hi8.tput, 4.0 * lo2.tput)
+    val efficiency416 = sdiv(hi16.tput, 4.0 * lo4.tput)
+    val efficiency8x = sdiv(full.tput, 8.0 * lo4.tput)
     // pipeline-attributable efficiency: per-doc kernel wall inflates as the
     // host's shared memory subsystem saturates (measured: ~84 GB/s ceiling,
     // per-thread bandwidth drops 2.5x from 4 to 16 busy cores — BASELINE.md);
     // a multi-node cluster adds memory channels with nodes, so dedicated
     // clusters track the CPU-adjusted number. Both are reported.
-    val cpuInflHi = hi.kernelUsPerDoc / lo.kernelUsPerDoc
-    val cpuInfl32 = full.kernelUsPerDoc / lo.kernelUsPerDoc
-    val effAdj = efficiency416 * cpuInflHi
-    val effAdj32 = efficiency8x * cpuInfl32
-    val effAdj28 = efficiency * (hi8.kernelUsPerDoc / lo2.kernelUsPerDoc)
+    val effAdj28 = efficiency * sdiv(hi8.usPerDoc, lo2.usPerDoc)
+    val effAdj = efficiency416 * sdiv(hi16.usPerDoc, lo4.usPerDoc)
+    val effAdj32 = efficiency8x * sdiv(full.usPerDoc, lo4.usPerDoc)
 
+    // docs per leg is constant (same input); take it from any leg
+    val nDocs = legs.find(_.docs > 0).map(_.docs).getOrElse(0L)
+
+    val levelsJson = allLevels.map { c =>
+      val l = lv(c)
+      f"""{"cpus":${l.cpus},"docs_per_sec":${l.tput}%.1f,"sec":${l.sec}%.3f,""" +
+        f""""kernel_us_per_doc":${l.usPerDoc}%.1f,"quiet":${l.quiet},""" +
+        f""""spread":${l.spread}%.3f,"legs_used":${l.legsUsed},"children":${l.children}}"""
+    }.mkString("[", ",", "]")
     val legsJson = legs.map { l =>
       f"""{"cpus":${l.cpus},"sec":${l.sec}%.3f,"tput":${l.tput}%.1f,""" +
         f""""kernel_us_per_doc":${l.kernelUsPerDoc}%.1f,"pinned":${l.pinned}}"""
     }.mkString("[", ",", "]")
+    val effField =
+      if (quietPair) f""""efficiency":$efficiency%.3f,"""
+      else f""""efficiency":null,"efficiency_refused":"primary level(s) never quiet: """ +
+        f"""2=${lo2.quiet} 8=${hi8.quiet}","""
 
     val json =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","cpus":$cpus,""" +
-        f""""extract":{"docs":${full.docs},"sec":${full.sec}%.3f,"docs_per_sec":${full.tput}%.1f},""" +
-        f""""scaling":{"cpus_lo":2,"cpus_hi":8,"docs":${lo.docs},""" +
-        f""""sec_lo":${lo2.sec}%.3f,"sec_hi":${hi8.sec}%.3f,"docs_per_sec_lo":${lo2.tput}%.1f,""" +
-        f""""docs_per_sec_hi":${hi8.tput}%.1f,"efficiency":$efficiency%.3f,""" +
-        f""""efficiency_4_16":$efficiency416%.3f,"docs_per_sec_4":${lo.tput}%.1f,""" +
-        f""""docs_per_sec_16":${hi.tput}%.1f,"sec_4":${lo.sec}%.3f,"sec_16":${hi.sec}%.3f,""" +
-        f""""sec_32":${full.sec}%.3f,"docs_per_sec_32":${full.tput}%.1f,"efficiency_8x":$efficiency8x%.3f,""" +
-        f""""kernel_us_per_doc_4":${lo.kernelUsPerDoc}%.1f,""" +
-        f""""kernel_us_per_doc_16":${hi.kernelUsPerDoc}%.1f,""" +
-        f""""kernel_us_per_doc_32":${full.kernelUsPerDoc}%.1f,""" +
-        f""""kernel_us_per_doc_2":${lo2.kernelUsPerDoc}%.1f,""" +
-        f""""kernel_us_per_doc_8":${hi8.kernelUsPerDoc}%.1f,""" +
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
+        f""""query_spread":$qspread,"query_runs":$queryRuns,"sf":"$sfDir","cpus":$cpus,""" +
+        f""""extract":{"docs":$nDocs,"sec":${full.sec}%.3f,"docs_per_sec":${full.tput}%.1f},""" +
+        f""""scaling":{"cpus_lo":2,"cpus_hi":8,"docs":$nDocs,""" +
+        effField +
+        f""""quiet":$quietPair,"efficiency_unquiet":$efficiency%.3f,""" +
+        f""""sec_lo":${lo2.sec}%.3f,"sec_hi":${hi8.sec}%.3f,""" +
+        f""""docs_per_sec_lo":${lo2.tput}%.1f,"docs_per_sec_hi":${hi8.tput}%.1f,""" +
+        f""""efficiency_4_16":$efficiency416%.3f,"efficiency_8x":$efficiency8x%.3f,""" +
         f""""efficiency_cpu_adjusted_2_8":$effAdj28%.3f,""" +
         f""""efficiency_cpu_adjusted":$effAdj%.3f,""" +
         f""""efficiency_cpu_adjusted_8x":$effAdj32%.3f,""" +
-        f""""pinned":${lo.pinned && hi.pinned},"collapse_reruns":$extra,""" +
-        f""""legs":$legsJson}}"""
+        f""""pinned":${legs.forall(_.pinned)},""" +
+        f""""levels":$levelsJson,"legs":$legsJson}}"""
     println(json)
     // also land the line in a file: the driver's stdout parse drowns in sbt
     // log noise otherwise (BENCH_r01 "parsed": null)

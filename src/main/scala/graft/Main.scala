@@ -9,16 +9,21 @@ import org.apache.spark.sql.{Dataset, SparkSession}
   * via spark-submit at N and 4N executors; resume re-processes only
   * uncommitted buckets).
   *
-  * Usage (all args optional):
+  * Usage (all args optional; README "Production runbook" carries the full
+  * spark-submit invocation):
   *   spark-submit --class graft.Main <jar> \
   *     --input  <parquet dir of (doc_id, spans) rows | sf dir with documents.parquet> \
   *     --output <output dir>  --buckets 64  --skew-bytes 1048576 \
-  *     --mode   fast|standard|precision|recall
+  *     --mode   fast|standard|precision|recall \
+  *     --html-backup            (persist raw html next to the extraction
+  *                               output, per-bucket, same atomic manifest —
+  *                               the reference's --backup-dir sink)
   *
   * On a cluster the master/parallelism come from spark-submit; local runs
-  * default to local[*]. The job is idempotent: re-running with the same
-  * output dir skips committed buckets (per-bucket manifests carry lineage,
-  * metrics and scan evidence).
+  * default to local[*]. RESUME is automatic and implicit: re-running with
+  * the same output dir skips committed buckets (per-bucket manifests carry
+  * lineage, metrics and scan evidence); a changed --buckets/--html-backup
+  * against an existing output dir fails loudly instead of mis-bucketing.
   */
 object Main {
 
@@ -33,6 +38,7 @@ object Main {
     val buckets = arg(args, "--buckets", "16").toInt
     val skewBytes = arg(args, "--skew-bytes", (1 << 20).toString).toInt
     val mode = arg(args, "--mode", "standard")
+    val htmlBackup = args.contains("--html-backup")
 
     val builder = SparkSession.builder().appName("graft-extract")
       .config("spark.sql.adaptive.enabled", "true")
@@ -58,14 +64,15 @@ object Main {
       else spark.read.parquet(input).as[DocRow]
 
     val t0 = System.nanoTime()
-    val written = ExtractPipeline.runWithCommitLog(spark, docs, output, opts, buckets, skewBytes)
+    val written = ExtractPipeline.runWithCommitLog(spark, docs, output, opts,
+      buckets, skewBytes, htmlBackup)
     val secs = (System.nanoTime() - t0) / 1e9
     val done = spark.read.parquet(s"$output/bucket-*")
     val nOk = done.filter("ok").count()
     val nAll = done.count()
     println(f"GRAFT-EXTRACT done: buckets_written=${written.length}/$buckets " +
       f"docs=$nAll ok=$nOk wall=$secs%.1fs tput=${nAll / math.max(secs, 1e-9)}%.0f docs/s " +
-      s"output=$output (skew threshold ${skewBytes}B, mode $mode)")
+      s"output=$output (skew threshold ${skewBytes}B, mode $mode, htmlBackup=$htmlBackup)")
     spark.stop()
   }
 }
