@@ -155,12 +155,14 @@ object SparkEntry {
     val li = s2.read.parquet(s"$dir/lineitem.parquet")
     val o = s2.read.parquet(s"$dir/orders.parquet")
     val hot = o.agg(min(col("o_orderkey"))).collect()(0).getLong(0)
-    // a skewed reduce partition is split along MAPPER boundaries; the
-    // test-scale parquet is a single row group = one mapper holding every
-    // hot row (probed: perMapper=[0,..,515454,..,0]), which is unsplittable.
-    // Real inputs have many files/row groups; emulate that mapper
-    // plurality with a round-robin repartition of the fact side.
-    val fact = li.repartition(8).select(
+    // a skewed reduce partition is split along MAPPER boundaries; a
+    // single-file single-row-group input is one mapper holding every hot
+    // row (probed: perMapper=[0,..,515454,..,0]), which is unsplittable.
+    // Real 100 TB inputs have many files/row groups — mapper plurality for
+    // free — so the round-robin repartition (an extra shuffle) is applied
+    // ONLY when the scan lacks it (driver-side file-count check, no job).
+    val liMany = if (li.inputFiles.length >= 8) li else li.repartition(8)
+    val fact = liMany.select(
       when(col("l_orderkey") % 10 < 8, lit(hot)).otherwise(col("l_orderkey")).as("fk"),
       col("l_extendedprice"))
     fact.join(o, col("fk") === col("o_orderkey"))

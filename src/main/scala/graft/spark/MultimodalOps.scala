@@ -165,6 +165,79 @@ object MultimodalOps {
       })
   }
 
+  /** Real image RESIZE (JDK Graphics2D, bilinear): decode -> scale so the
+    * longer side is `maxDim` (no upscaling) -> re-encode PNG. Returns the
+    * original payload when not decodable or already small enough. */
+  def resizePng(blob: Array[Byte], maxDim: Int): Array[Byte] = {
+    val src = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
+      catch { case _: java.io.IOException => null }
+    if (src == null) return blob
+    val (w, h) = (src.getWidth, src.getHeight)
+    if (math.max(w, h) <= maxDim) return blob
+    val scale = maxDim.toDouble / math.max(w, h)
+    val (nw, nh) = (math.max(1, (w * scale).round.toInt), math.max(1, (h * scale).round.toInt))
+    val dst = new java.awt.image.BufferedImage(nw, nh,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, nw, nh, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Dataset-level resize transform: image rows above `maxDim` are decoded,
+    * scaled and re-encoded per partition (the standard pre-processing step
+    * before a vision encoder); audio/video rows pass through. One map
+    * stage, no shuffle — at 100 TB this pipelines with the scan. */
+  def resizeImages(media: Dataset[MediaRow], maxDim: Int): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.map { m =>
+      if (m.media_kind == "image") m.copy(blob = resizePng(m.blob, maxDim)) else m
+    })
+  }
+
+  /** Real FRAME SAMPLE: decode frame `k` (clamped) of an animated-GIF video
+    * payload and re-encode it as a standalone PNG. None when not decodable. */
+  def sampleFrame(blob: Array[Byte], k: Int): Option[Array[Byte]] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        if (n <= 0) None
+        else {
+          val img = reader.read(math.min(math.max(k, 0), n - 1))
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          Some(bos.toByteArray)
+        }
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+
+  /** Dataset-level frame sampling: each video row yields one image row per
+    * sampled frame index (doc_id preserved, media_ref suffixed `#frame-i`),
+    * the shape a frame-level vision featurizer consumes downstream; non-video
+    * rows pass through unchanged. flatMap per partition, no shuffle. */
+  def sampleFrames(media: Dataset[MediaRow], every: Int = 2): Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions(_.flatMap { m =>
+      if (m.media_kind != "video") Iterator.single(m)
+      else decodeGif(m.blob) match {
+        case Some((_, _, n)) =>
+          (0 until n by math.max(1, every)).iterator.flatMap { i =>
+            sampleFrame(m.blob, i).map(png =>
+              MediaRow(m.doc_id, s"${m.media_ref}#frame-$i", "image", png))
+          }
+        case None => Iterator.empty
+      }
+    })
+  }
+
   /** STUB feature extraction: deterministic 8-dim float vector from bytes
     * (a real audio/video featurizer would drop in here). */
   def featureStub(blob: Array[Byte], dim: Int = 8): Array[Float] = {

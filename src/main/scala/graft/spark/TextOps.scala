@@ -545,28 +545,42 @@ object TextOps {
     val hyper = Array.fill(tables, k, dim)(rnd.nextGaussian())
     val base = embeddings.select(col("vec_id"), col("embedding"))
     val emb = col("embedding")
+    // hyperplane dots through the NATIVE vec_dot (array<float> x literal
+    // array<double>): tables x k of them per row — the interpreted
+    // aggregate(zip_with) form was 96 higher-order evals per row at
+    // tables=24 and dominated emb_lsh_recall (16 s -> ~2 s at sf0.1).
+    // Bit-identical: same element order, same double accumulation.
     def dotLit(plane: Array[Double]) =
-      aggregate(zip_with(emb, array(plane.map(lit): _*), (a, b) => a.cast("double") * b),
-        lit(0.0d), (acc, x) => acc + x)
+      call_function("vec_dot", emb, array(plane.map(lit): _*))
     val bucketCols = (0 until tables).map { t =>
       (0 until k).map { i =>
         (dotLit(hyper(t)(i)) >= 0).cast("int") * lit(1 << i)
       }.reduce(_ + _).as(s"b$t")
     }
     val bucketed = base.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
-    val tagged = bucketed.select(col("vec_id"), col("embedding"),
+    // candidate generation ships IDS ONLY (the dedupMinhash shape): the
+    // bucket self-join + distinct move 16-byte pairs, and the embedding
+    // arrays are joined back only for surviving candidates — carrying two
+    // 64-float arrays per candidate through the dedup shuffle made the
+    // recall query ~25x slower at sf0.1 (1.5 GB of array traffic)
+    val tagged = bucketed.select(col("vec_id"),
       posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")))
     val cand = tagged.as("a").join(tagged.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
-      .dropDuplicates("a_id", "b_id")
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
+      .distinct()
     // verify with the SAME float formulation as embeddingNearDup (normalize
-    // each side, then dot): every emitted pair satisfies the exact path's
-    // predicate bit-for-bit, so precision vs the exact set is exactly 1
-    cand.select(col("a_id"), col("b_id"),
-        dotCol(unitVec(col("a_emb")), unitVec(col("b_emb"))).as("cos"))
+    // each side ONCE at the scan, then dot per pair): every emitted pair
+    // satisfies the exact path's predicate bit-for-bit, so precision vs the
+    // exact set is exactly 1. Normalizing after the join instead would run
+    // `transform`'s interpreted lambda — with its embedded norm — per
+    // CANDIDATE row rather than per corpus row (~10x on this query).
+    val baseU = base.select(col("vec_id"), unitVec(col("embedding")).as("u"))
+    cand
+      .join(baseU.select(col("vec_id").as("a_id"), col("u").as("a_u")), Seq("a_id"))
+      .join(baseU.select(col("vec_id").as("b_id"), col("u").as("b_u")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), dotCol(col("a_u"), col("b_u")).as("cos"))
       .filter(col("cos") >= threshold)
       .select(col("a_id"), col("b_id"))
   }
@@ -630,15 +644,20 @@ object TextOps {
         (r.getLong(0).toInt, arr.map(_ / n))
       }
       .sortBy(_._1)
+    // native vec_dot against the literal centroid (see embeddingNearDupLsh's
+    // dotLit note) — bit-identical to the aggregate(zip_with) form
     def dotLit(cn: Array[Double]): Column =
-      aggregate(zip_with(col("embedding"), array(cn.map(lit): _*),
-        (x, y) => x.cast("double") * y), lit(0.0d), (acc, x) => acc + x)
+      call_function("vec_dot", col("embedding"), array(cn.map(lit): _*))
     // map-side argmax: first index of the max dot (ties -> lowest cell_id,
     // matching the previous window tie-break ccos desc / cell_id asc)
     val dotArr = array(cents.map { case (_, cn) => dotLit(cn) }: _*)
     val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
+    // `u` computed at the scan (once per corpus row): the ranking dot after
+    // the probe join then reads a ready array instead of re-running the
+    // interpreted normalize-transform per candidate row
     val assigned = base.withColumn("cell_id",
-      element_at(cellIds, array_position(dotArr, array_max(dotArr)).cast("int")))
+        element_at(cellIds, array_position(dotArr, array_max(dotArr)).cast("int")))
+      .withColumn("u", unitVec(col("embedding")))
     // queries probe their nProbe nearest cells: map-side sort of the nCells
     // (−dot, cell_id) structs, slice, explode — still no shuffle
     val probeStructs = array_sort(array(cents.map { case (id, cn) =>
@@ -657,7 +676,7 @@ object TextOps {
     probes.join(assigned, Seq("cell_id"))
       .filter(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id").as("nid"),
-        dotCol(col("qu"), unitVec(col("embedding"))).as("cos"))
+        dotCol(col("qu"), col("u")).as("cos"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"))

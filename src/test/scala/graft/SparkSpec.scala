@@ -242,6 +242,36 @@ class SparkSpec extends AnyFunSuite {
     }
   }
 
+  test("multimodal: resize scales the long side, frame-sample explodes video to image rows") {
+    import graft.spark.MultimodalOps
+    // resize: a 40x20 PNG capped at maxDim=10 -> 10x5, re-decodable;
+    // an already-small payload passes through byte-identical
+    val big = MultimodalOps.pngBytes(40, 20, seed = 7)
+    val small = MultimodalOps.resizePng(big, 10)
+    assert(MultimodalOps.decodeImage(small).contains((10, 5)))
+    val tiny = MultimodalOps.pngBytes(8, 6, seed = 7)
+    assert(MultimodalOps.resizePng(tiny, 10) eq tiny)
+    // dataset-level: every image row obeys the cap, other kinds untouched
+    val media = MultimodalOps.mediaTable(spark, sf)
+    val resized = MultimodalOps.resizeImages(media, 20).filter(_.media_kind == "image").take(10)
+    resized.foreach { m =>
+      val (w, h) = MultimodalOps.decodeImage(m.blob).get
+      assert(math.max(w, h) <= 20, s"doc ${m.doc_id}: ${w}x$h")
+    }
+    // frame sampling: a 4-frame video doc yields ceil(4/2)=2 image rows with
+    // the GIF's dims, distinct content per frame (frames differ by synth)
+    val vid = media.filter(m => m.media_kind == "video" &&
+      MultimodalOps.videoFrames(m.doc_id) == 4).take(1).head
+    val frames = MultimodalOps.sampleFrames(
+      media.filter(_.doc_id == vid.doc_id), every = 2).collect()
+    assert(frames.length == 2 && frames.forall(_.media_kind == "image"))
+    assert(frames.map(_.media_ref).toSet ==
+      Set(s"${vid.media_ref}#frame-0", s"${vid.media_ref}#frame-2"))
+    val dims = frames.map(f => MultimodalOps.decodeImage(f.blob).get).toSet
+    assert(dims == Set((MultimodalOps.imgWidth(vid.doc_id), MultimodalOps.imgHeight(vid.doc_id))))
+    assert(!java.util.Arrays.equals(frames(0).blob, frames(1).blob), "frames should differ")
+  }
+
   test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
     val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
     val exact = graft.spark.TextOps.embeddingNearDup(emb, 0.3, cap = 500)
