@@ -22,26 +22,25 @@ import org.apache.spark.sql.SparkSession
   *    workers — the honest N-core-executor emulation (in-JVM local[N] on a
   *    32-core host lets the idle cores assist GC; the JVM sizes its GC
   *    thread pool from the affinity mask);
-  *  - levels are interleaved palindromically (2,4,8,16,32,32,16,8,4,2),
-  *    three timed runs per child; host noise minutes apart hits levels
-  *    evenly;
-  *  - a level is only ACCEPTED when it produces a QUIET WINDOW: K=3
-  *    consecutive clean legs whose throughput spread (max/min - 1) is
-  *    within 10%. "Clean" = the leg's kernel µs/doc is within 2x of the
-  *    level's own quietest leg (a descheduled leg inflates per-doc kernel
-  *    wall; the threshold is per-level because busier lane counts inflate
-  *    µs/doc legitimately via the measured DRAM ceiling). A level with no
-  *    quiet window re-runs (bounded children + wall budget) instead of
-  *    publishing a contended number;
-  *  - the level's published throughput is the MEDIAN of its best quiet
-  *    window — not the best single leg (r3's estimator), which a lucky
-  *    scheduling gap can inflate and a contended window can deflate;
-  *  - the headline `efficiency` is REFUSED (null) unless both primary
-  *    levels (2 and 8) are quiet; the best-effort number is still published
-  *    as `efficiency_unquiet` so a contended driver window fails loudly
-  *    rather than under-reporting (r3: driver raw 0.735 vs three quiet
-  *    validation runs at 0.863-0.884 — same code);
-  *  - every leg lands in the JSON (`legs`) so an outlier self-identifies.
+  *  - the PRIMARY pair (2 -> 8) is measured as MATCHED ROUNDS: the 2-core
+  *    and 8-core children run back-to-back so both see the same host
+  *    co-tenancy, each child must produce a QUIET TRIPLE (3 legs whose
+  *    throughput spread is within 10%, each leg clean — kernel µs/doc
+  *    within 2x of the child's quietest), and the round's ratio is
+  *    tput8/(4*tput2) over the triple medians. Headline = median of
+  *    accepted rounds' ratios; quiet=true requires the median round to be
+  *    corroborated by its nearest-sorted neighbor within 10% (NOT
+  *    best-two-agree: 2-core-side contention INFLATES a ratio, so
+  *    cherry-picking the top biases up). Rounds repeat (bounded) until
+  *    corroborated; otherwise the headline is REFUSED (JSON null +
+  *    reason + all rounds published) — a contended driver window fails
+  *    loudly rather than under- or over-reporting (r3: driver raw 0.735
+  *    vs 0.863-0.884 in quiet validation runs of identical code, and two
+  *    r4 prototype runs gave 0.72/0.86 from windows minutes apart that
+  *    were each internally quiet);
+  *  - secondary levels (4,16,32 — the scaling-curve evidence) run as a
+  *    palindrome with per-level quiet-window acceptance and re-runs;
+  *  - every leg and every round lands in the JSON so outliers self-identify.
   * Falls back to in-process local[N] sessions if child spawn/taskset fails
   * (flagged `"pinned":false`). */
 object Bench {
@@ -228,45 +227,102 @@ object Bench {
     val allLevels = Seq(2, 4, 8, 16, 32)
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
     val childCount = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    def runChild(c: Int): Unit = { legs ++= runner(c, K); childCount(c) += 1 }
-    // palindrome interleave: drift in host load hits the levels evenly.
-    // 2 and 8 measure the same N->4N criterion on a pair where BOTH legs sit
-    // under this host's shared-memory-bandwidth knee (~84 GB/s, saturated
-    // from ~10 busy cores — BASELINE.md): the multi-node story adds memory
-    // channels with nodes, so the 2->8 pair isolates the pipeline's scaling
-    // from the single-box memory ceiling that 16+ lanes hit.
-    (allLevels ++ allLevels.reverse).foreach(runChild)
-
-    // quietness re-runs: a level without a K-leg in-spread clean window was
-    // measured through host contention — measure again rather than publish
-    // it, bounded by children-per-level and a wall budget. Primary levels
-    // (2, 8) are retried first and get the deeper retry allowance.
+    def runChild(c: Int): Seq[Leg] = {
+      val got = runner(c, K); legs ++= got; childCount(c) += 1; got
+    }
     val deadline = System.nanoTime() +
       sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "900").toLong * 1000000000L
+
+    // ---- PRIMARY north-rule pair, measured as MATCHED ROUNDS: the 2-core
+    // and 8-core children run BACK-TO-BACK so both see the same host
+    // co-tenancy, and the headline is the median of per-round ratios.
+    // Internally-consistent windows measured minutes apart are NOT enough
+    // for a RATIO: background bus traffic drifts on that timescale and
+    // lands asymmetrically on the two levels (observed: 0.72 vs 0.86 on
+    // identical code, both windows within-spread "quiet"). 2 -> 8 is the
+    // pair where BOTH legs sit under this host's shared-memory-bandwidth
+    // knee (~84 GB/s, saturated from ~10 busy cores — BASELINE.md): a
+    // multi-node cluster adds memory channels with nodes, so this pair
+    // isolates the pipeline's scaling from the single-box DRAM ceiling
+    // that 16+ lanes hit.
+    case class Round(tput2: Double, tput8: Double, us2: Double, us8: Double,
+        ok: Boolean) { def ratio: Double = if (tput2 > 0) tput8 / (4.0 * tput2) else 0.0 }
+    val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
+    def childQuiet(got: Seq[Leg]): Option[(Double, Double)] =
+      quietWindow(got).map(w => (median(w.map(_.tput)), median(w.map(_.kernelUsPerDoc))))
+    def acceptedRatios: Seq[Double] = rounds.filter(_.ok).map(_.ratio).toSeq
+    // agreement = the MEDIAN round is corroborated by its nearest-sorted
+    // neighbor within the spread bound. Not "two best agree": contention
+    // during the 2-core child INFLATES a round's ratio, so cherry-picking
+    // the top rounds biases up; the median + neighbor rule publishes a
+    // reproduced central value and ignores outliers on either side.
+    def ratiosAgree: Boolean = {
+      val rs = acceptedRatios.sorted
+      rs.length >= 2 && {
+        val i = (rs.length - 1) / 2
+        // even n: the published median is the mean of the two middles, so
+        // THOSE must agree; odd n: the median element and a nearest neighbor
+        val js = if (rs.length % 2 == 0) Seq(i + 1) else Seq(i - 1, i + 1)
+        js.exists(j => j >= 0 && j < rs.length &&
+          math.max(rs(j), rs(i)) / math.min(rs(j), rs(i)) - 1.0 <= SpreadBound)
+      }
+    }
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "5").toInt
+    while (rounds.length < 2 ||
+      (!ratiosAgree && rounds.length < maxRounds && System.nanoTime() < deadline)) {
+      val got2 = runChild(2)
+      val got8 = runChild(8)
+      val g2 = childQuiet(got2)
+      val g8 = childQuiet(got8)
+      // a rejected round still reports its best-leg numbers (diagnostics)
+      def bestT(g: Seq[Leg]) = if (g.isEmpty) 0.0 else g.map(_.tput).max
+      def bestU(g: Seq[Leg]) = {
+        val us = g.map(_.kernelUsPerDoc).filterNot(_.isNaN)
+        if (us.isEmpty) 0.0 else us.min
+      }
+      rounds += ((g2, g8) match {
+        case (Some((t2, u2)), Some((t8, u8))) => Round(t2, t8, u2, u8, ok = true)
+        case _ => Round(g2.map(_._1).getOrElse(bestT(got2)), g8.map(_._1).getOrElse(bestT(got8)),
+          g2.map(_._2).getOrElse(bestU(got2)), g8.map(_._2).getOrElse(bestU(got8)), ok = false)
+      })
+    }
+
+    // ---- secondary levels (the scaling-curve evidence): palindrome so
+    // drift hits them evenly; per-level quiet-window acceptance + re-runs
+    Seq(4, 16, 32, 32, 16, 4).foreach(runChild)
     def levelLegs(c: Int) = legs.filter(_.cpus == c).toSeq
-    for (c <- Seq(2, 8, 4, 16, 32)) {
-      val maxChildren = if (c == 2 || c == 8) 6 else 4
-      while (quietWindow(levelLegs(c)).isEmpty && childCount(c) < maxChildren &&
+    for (c <- Seq(4, 16, 32)) {
+      while (quietWindow(levelLegs(c)).isEmpty && childCount(c) < 4 &&
         System.nanoTime() < deadline) runChild(c)
     }
 
     val lv: Map[Int, Level] =
       allLevels.map(c => c -> summarize(c, levelLegs(c), childCount(c))).toMap
     val lo2 = lv(2); val lo4 = lv(4); val hi8 = lv(8); val hi16 = lv(16); val full = lv(32)
-    // PRIMARY north-rule pair: N=2 -> 4N=8 (see the palindrome comment).
-    // The headline is REFUSED unless both its legs come from quiet windows.
-    val quietPair = lo2.quiet && hi8.quiet
+    // headline = median ratio over accepted matched rounds; quiet verdict
+    // requires >=2 accepted rounds whose two best ratios agree within the
+    // spread bound — otherwise the headline is refused
+    val quietPair = ratiosAgree
     // guarded division: a degenerate zero level yields 0.0, not Inf/NaN
     def sdiv(a: Double, b: Double): Double = if (b > 0) a / b else 0.0
-    val efficiency = sdiv(hi8.tput, 4.0 * lo2.tput)
+    // headline: median over accepted matched rounds (falls back to the
+    // level-summary ratio only if NO round was accepted — flagged unquiet)
+    val efficiency =
+      if (acceptedRatios.nonEmpty) median(acceptedRatios)
+      else sdiv(hi8.tput, 4.0 * lo2.tput)
     val efficiency416 = sdiv(hi16.tput, 4.0 * lo4.tput)
     val efficiency8x = sdiv(full.tput, 8.0 * lo4.tput)
     // pipeline-attributable efficiency: per-doc kernel wall inflates as the
     // host's shared memory subsystem saturates (measured: ~84 GB/s ceiling,
     // per-thread bandwidth drops 2.5x from 4 to 16 busy cores — BASELINE.md);
     // a multi-node cluster adds memory channels with nodes, so dedicated
-    // clusters track the CPU-adjusted number. Both are reported.
-    val effAdj28 = efficiency * sdiv(hi8.usPerDoc, lo2.usPerDoc)
+    // clusters track the CPU-adjusted number. Both are reported. The 2->8
+    // adjustment uses the matched-round medians (same co-tenancy window).
+    val okRounds = rounds.filter(_.ok).toSeq
+    val effAdj28 =
+      if (okRounds.nonEmpty)
+        median(okRounds.map(r => r.ratio * sdiv(r.us8, r.us2)))
+      else efficiency * sdiv(hi8.usPerDoc, lo2.usPerDoc)
     val effAdj = efficiency416 * sdiv(hi16.usPerDoc, lo4.usPerDoc)
     val effAdj32 = efficiency8x * sdiv(full.usPerDoc, lo4.usPerDoc)
 
@@ -283,10 +339,15 @@ object Bench {
       f"""{"cpus":${l.cpus},"sec":${l.sec}%.3f,"tput":${l.tput}%.1f,""" +
         f""""kernel_us_per_doc":${l.kernelUsPerDoc}%.1f,"pinned":${l.pinned}}"""
     }.mkString("[", ",", "]")
+    val roundsJson = rounds.map { r =>
+      f"""{"tput_2":${r.tput2}%.1f,"tput_8":${r.tput8}%.1f,"ratio":${r.ratio}%.3f,""" +
+        f""""kernel_us_per_doc_2":${r.us2}%.1f,"kernel_us_per_doc_8":${r.us8}%.1f,""" +
+        f""""accepted":${r.ok}}"""
+    }.mkString("[", ",", "]")
     val effField =
       if (quietPair) f""""efficiency":$efficiency%.3f,"""
-      else f""""efficiency":null,"efficiency_refused":"primary level(s) never quiet: """ +
-        f"""2=${lo2.quiet} 8=${hi8.quiet}","""
+      else f""""efficiency":null,"efficiency_refused":"matched 2-vs-8 rounds """ +
+        f"""never agreed: ${acceptedRatios.length} accepted of ${rounds.length}","""
 
     val json =
       f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,""" +
@@ -302,6 +363,7 @@ object Bench {
         f""""efficiency_cpu_adjusted":$effAdj%.3f,""" +
         f""""efficiency_cpu_adjusted_8x":$effAdj32%.3f,""" +
         f""""pinned":${legs.forall(_.pinned)},""" +
+        f""""pair_rounds":$roundsJson,""" +
         f""""levels":$levelsJson,"legs":$legsJson}}"""
     println(json)
     // also land the line in a file: the driver's stdout parse drowns in sbt

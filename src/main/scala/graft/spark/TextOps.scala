@@ -474,6 +474,51 @@ object TextOps {
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("long").as("hamming"))
   }
 
+  /** SimHash NEAR-DUP pairs at scale (Manku/Google-style banded hamming
+    * join): fingerprint every doc map-side (native simhash64), split the 64
+    * bits into `maxHamming + 1` bands and equi-join per band — by
+    * pigeonhole, any pair within hamming `maxHamming` agrees EXACTLY on at
+    * least one band, so the band join is a LOSSLESS candidate filter (the
+    * simhash analogue of prefix filtering); verify with bit_count(xor).
+    * Join keys are (band, 16-bit band value) — fixed-width, never text.
+    * Degenerate bands (e.g. a corpus-wide all-zero band from short docs)
+    * create hot keys; `bandCap` drops them via the same broadcast anti-join
+    * pattern as dedupMinhash's bucketCap (recall trade: a dropped pair must
+    * have collided ONLY in capped bands). Spec-pinned against a capped
+    * brute-force all-pairs hamming join. */
+  def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
+      bandCap: Int = 0): DataFrame = {
+    SqlSurface.registerVecDot(spark)
+    require(maxHamming >= 0 && maxHamming <= 7, "bands are 64/(maxHamming+1) bits")
+    val nBands = maxHamming + 1
+    val bandBits = 64 / nBands
+    val corpus = nearDupCorpus(docs)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("fp"))
+    val allBands = corpus.select(col("doc_id"), col("fp"),
+      posexplode(array((0 until nBands).map { b =>
+        // unsigned slice of bandBits bits (last band takes the remainder)
+        val lo = b * bandBits
+        val width = if (b == nBands - 1) 64 - lo else bandBits
+        shiftrightunsigned(col("fp"), lo).bitwiseAND(
+          lit((1L << width) - 1 | (if (width == 64) -1L else 0L)))
+      }: _*)).as(Seq("band", "bval")))
+    val bands =
+      if (bandCap <= 0) allBands
+      else {
+        val hot = allBands.groupBy(col("band"), col("bval"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") > bandCap)
+          .select(col("band"), col("bval"))
+        allBands.join(broadcast(hot), Seq("band", "bval"), "left_anti")
+      }
+    bands.as("a").join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   // ------------------------------------------------------------ ANN cosine
 
   /** L2-normalize the embedding once per row so every pairwise stage below
@@ -632,18 +677,67 @@ object TextOps {
     * no join, no ×nCells row blow-up, no window shuffle — `explain` shows no
     * Exchange before the probe⋈cell join. argmax over dot(v, ĉ_i) equals
     * argmax over cos(v, c_i) because ‖v‖ is a common positive factor. */
-  def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** Spherical k-means centroid fit for the IVF quantizer: Lloyd iterations
+    * expressed as DataFrame jobs — assign each vector to its nearest current
+    * centroid MAP-SIDE (argmax over literal-baked unit-centroid dots, the
+    * same no-join shape as assignment in annCosineIvf), then recompute each
+    * cell's mean via posexplode + groupBy(cell, dim) avg. Only the
+    * nCells x dim centroid matrix ever reaches the driver (per iteration) —
+    * the classic `KMeans.fit` collect shape, scan-linear per iteration at
+    * 100 TB. Deterministic init: the first nCells vectors. Empty cells keep
+    * their previous centroid. Returns L2-normalized centroids. */
+  def fitIvfCentroids(embeddings: DataFrame, nCells: Int = 16,
+      iters: Int = 3): Array[Array[Double]] = {
     SqlSurface.registerVecDot(embeddings.sparkSession)
     val base = embeddings.select(col("vec_id"), col("embedding"))
-    val cents: Array[(Int, Array[Double])] = base.filter(col("vec_id") < nCells)
+    def normalize(a: Array[Double]): Array[Double] = {
+      val n = math.sqrt(a.iterator.map(x => x * x).sum)
+      if (n == 0) a else a.map(_ / n)
+    }
+    var cents: Array[Array[Double]] = base.filter(col("vec_id") < nCells)
       .collect()
-      .map { r =>
-        val arr = r.getSeq[Float](1).iterator.map(_.toDouble).toArray
-        val n = math.sqrt(arr.iterator.map(x => x * x).sum)
-        (r.getLong(0).toInt, arr.map(_ / n))
+      .sortBy(_.getLong(0))
+      .map(r => normalize(r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
+    var it = 0
+    while (it < iters) {
+      val dotArr = array(cents.map(cn =>
+        call_function("vec_dot", col("embedding"), array(cn.map(lit): _*))): _*)
+      val assigned = base.select(
+        (array_position(dotArr, array_max(dotArr)).cast("int") - 1).as("cell"),
+        col("embedding"))
+      val means = assigned
+        .select(col("cell"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("cell"), col("dim")).agg(avg(col("v")).as("m"))
+        .collect()
+      val next = cents.map(_.clone())
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1)) = r.getDouble(2)
       }
-      .sortBy(_._1)
+      cents = next.map(normalize)
+      it += 1
+    }
+    cents
+  }
+
+  def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, fitIters: Int = 0): DataFrame = {
+    SqlSurface.registerVecDot(embeddings.sparkSession)
+    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // fitIters > 0 swaps the deterministic first-nCells quantizer for a real
+    // spherical k-means fit (fitIvfCentroids). Correctness at nProbe=nCells
+    // is centroid-INDEPENDENT (every cell is probed -> candidates = corpus),
+    // which is why the driver oracle pins that configuration; fitted
+    // centroids only move the recall/cost curve at nProbe < nCells.
+    val cents: Array[(Int, Array[Double])] =
+      if (fitIters > 0) fitIvfCentroids(embeddings, nCells, fitIters).zipWithIndex.map(_.swap)
+      else base.filter(col("vec_id") < nCells)
+        .collect()
+        .map { r =>
+          val arr = r.getSeq[Float](1).iterator.map(_.toDouble).toArray
+          val n = math.sqrt(arr.iterator.map(x => x * x).sum)
+          (r.getLong(0).toInt, arr.map(_ / n))
+        }
+        .sortBy(_._1)
     // native vec_dot against the literal centroid (see embeddingNearDupLsh's
     // dotLit note) — bit-identical to the aggregate(zip_with) form
     def dotLit(cn: Array[Double]): Column =

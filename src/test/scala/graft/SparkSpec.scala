@@ -528,6 +528,70 @@ class SparkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupSimhash: banded hamming join equals brute-force all-pairs exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = DocsTables.documents(spark, sf)
+    val got = graft.spark.TextOps.dedupSimhash(spark, docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    // brute force: all corpus fingerprints to the driver, O(n²) hamming scan
+    graft.spark.SqlSurface.registerVecDot(spark)
+    val fps = graft.spark.TextOps.nearDupCorpus(docs)
+      .select(col("doc_id"), call_function("simhash64", col("text")).as("fp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      i <- fps.indices.iterator
+      j <- (i + 1) until fps.length
+      h = java.lang.Long.bitCount(fps(i)._2 ^ fps(j)._2)
+      if h <= 3
+    } yield {
+      val (a, b) = if (fps(i)._1 < fps(j)._1) (fps(i), fps(j)) else (fps(j), fps(i))
+      (a._1, b._1, h)
+    }).toSet
+    // pigeonhole makes the band filter LOSSLESS: exact equality, not subset
+    assert(got == brute, s"got=${got.size} brute=${brute.size}; " +
+      s"missed=${(brute -- got).take(3)} extra=${(got -- brute).take(3)}")
+    assert(got.nonEmpty, "corpus mutation should yield some hamming<=3 pairs")
+  }
+
+  test("dedupSimhash bandCap: planted identical-fingerprint flood is dropped, normal pairs intact") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val normal = DocsTables.documents(spark, sf).select(col("doc_id"), col("text"))
+    val hot = spark.range(2000).select(
+      (col("id") + 500000L).as("doc_id"),
+      lit("exactly the same ten words of text in every planted document").as("text"))
+    val t0 = System.nanoTime()
+    val capped = graft.spark.TextOps.dedupSimhash(spark, normal.unionAll(hot), bandCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSec = (System.nanoTime() - t0) / 1e9
+    val normalOnly = graft.spark.TextOps.dedupSimhash(spark, normal)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == normalOnly, s"capped=${capped.size} normalOnly=${normalOnly.size}")
+    assert(cappedSec < 120, s"capped run took ${cappedSec}s — cap not effective")
+  }
+
+  test("IVF k-means fit: centroid-independent at nProbe=nCells, map-side plan, usable recall") {
+    val emb = graft.spark.DocsTables.embeddings(spark, "/root/testdata/sf0.01")
+    // nProbe = nCells probes every cell -> result equals brute REGARDLESS of
+    // the quantizer, fitted or not (this is why the driver oracle may pin it)
+    val brute = graft.spark.TextOps.annCosineTopK(emb, nQueries = 5, k = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val fittedFull = graft.spark.TextOps.annCosineIvf(emb, nQueries = 5, k = 5,
+        nCells = 8, nProbe = 8, fitIters = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(fittedFull == brute)
+    // fitted quantizer at nProbe < nCells: plan stays map-side (no join for
+    // assignment) and recall clears the same floor as the unfitted one
+    val df = graft.spark.TextOps.annCosineIvf(emb, nQueries = 5, k = 5,
+      nCells = 8, nProbe = 4, fitIters = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+    val ivf = df.collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val bruteQN = brute.map(t => (t._1, t._3))
+    val recall = ivf.intersect(bruteQN).size.toDouble / bruteQN.size
+    assert(recall >= 0.3, s"fitted-IVF recall unusable: $recall")
+  }
+
   test("dedupNgramJaccard tokenCap: planted hot prefix tokens are dropped, job stays linear") {
     import org.apache.spark.sql.functions._
     // mirror of the bucketCap adversary: 2000 planted docs with IDENTICAL
