@@ -227,11 +227,16 @@ object Bench {
     val allLevels = Seq(2, 4, 8, 16, 32)
     val legs = scala.collection.mutable.ArrayBuffer.empty[Leg]
     val childCount = scala.collection.mutable.Map.empty[Int, Int].withDefaultValue(0)
-    def runChild(c: Int): Seq[Leg] = {
-      val got = runner(c, K); legs ++= got; childCount(c) += 1; got
+    def runChild(c: Int, runs: Int = K): Seq[Leg] = {
+      val got = runner(c, runs); legs ++= got; childCount(c) += 1; got
     }
-    val deadline = System.nanoTime() +
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "900").toLong * 1000000000L
+    // split budgets: extra pair rounds (beyond the 2 minimum) stop at
+    // pairDeadline so the secondary-curve phase always gets its share
+    val t0s = System.nanoTime()
+    val pairDeadline = t0s +
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_SEC", "700").toLong * 1000000000L
+    val deadline = t0s +
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "1100").toLong * 1000000000L
 
     // ---- PRIMARY north-rule pair, measured as MATCHED ROUNDS: the 2-core
     // and 8-core children run BACK-TO-BACK so both see the same host
@@ -269,9 +274,11 @@ object Bench {
     }
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "5").toInt
     while (rounds.length < 2 ||
-      (!ratiosAgree && rounds.length < maxRounds && System.nanoTime() < deadline)) {
-      val got2 = runChild(2)
-      val got8 = runChild(8)
+      (!ratiosAgree && rounds.length < maxRounds && System.nanoTime() < pairDeadline)) {
+      // K+1 timed runs per primary child: the quiet triple may be any 3
+      // consecutive legs, so one residual ramp leg doesn't sink the round
+      val got2 = runChild(2, K + 1)
+      val got8 = runChild(8, K + 1)
       val g2 = childQuiet(got2)
       val g8 = childQuiet(got8)
       // a rejected round still reports its best-leg numbers (diagnostics)
@@ -289,7 +296,7 @@ object Bench {
 
     // ---- secondary levels (the scaling-curve evidence): palindrome so
     // drift hits them evenly; per-level quiet-window acceptance + re-runs
-    Seq(4, 16, 32, 32, 16, 4).foreach(runChild)
+    Seq(4, 16, 32, 32, 16, 4).foreach(c => runChild(c))
     def levelLegs(c: Int) = legs.filter(_.cpus == c).toSeq
     for (c <- Seq(4, 16, 32)) {
       while (quietWindow(levelLegs(c)).isEmpty && childCount(c) < 4 &&

@@ -56,6 +56,19 @@ object SparkEntry {
     // simhash determinism shaped for SQL: identical texts under two ids must
     // fingerprint identically -> hamming 0, predictable without blake2b
     "simhash_fp" -> ((s, dir) => TextOps.simhashPairs(s, DocsTables.documents(s, dir))),
+    // the SimHash near-dup SCALE path (Manku-style banded hamming join)
+    // through an identical-copy corpus: banding is lossless by pigeonhole,
+    // so every planted (a, a+1M) hamming-0 pair MUST survive the band join
+    // — DuckDB predicts the full set without computing simhash (the mutated-
+    // corpus variant is spec-pinned against brute-force all-pairs hamming)
+    "dedup_simhash" -> ((s, dir) => {
+      val docs = DocsTables.documents(s, dir)
+      val corpus = docs.select(col("doc_id").cast("long").as("doc_id"), col("text"))
+        .unionAll(docs.select((col("doc_id") + 1000000L).cast("long").as("doc_id"), col("text")))
+      TextOps.dedupSimhashCorpus(s, corpus, maxHamming = 3, bandCap = 0)
+        .filter(col("id_b") === col("id_a") + 1000000L)
+        .select(col("id_a"), col("id_b"), col("hamming").cast("long").as("hamming"))
+    }),
     // --- end-to-end LLM-pipeline composition: extraction kernel -> near-dup
     // pairs over the EXTRACTED text -> connected components -> canonical doc
     // per cluster with member count. Proves the two halves compose; the
@@ -177,6 +190,10 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "simhash_fp" ->
       """SELECT doc_id AS id_a, doc_id + 1000000 AS id_b, CAST(0 AS BIGINT) AS hamming
+        |FROM documents""".stripMargin,
+    "dedup_simhash" ->
+      """SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(doc_id + 1000000 AS BIGINT) AS id_b,
+        |  CAST(0 AS BIGINT) AS hamming
         |FROM documents""".stripMargin,
     "events_sessions" -> graft.spark.StreamOps.eventSessionsOracle,
     "tpch_top_orders" ->

@@ -316,7 +316,8 @@ object TextOps {
     * resolve diameters ~2^20 — non-convergence in practice means a
     * pathologically low maxIters, as in the pinned test.) */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
-      checkpointDir: Option[String] = None): (DataFrame, ClusterStats) = {
+      checkpointDir: Option[String] = None,
+      localFinishEdges: Int = 100000): (DataFrame, ClusterStats) = {
     val ckpt: DataFrame => DataFrame = checkpointDir match {
       case Some(dir) =>
         pairs.sparkSession.sparkContext.setCheckpointDir(dir)
@@ -328,7 +329,36 @@ object TextOps {
     var labels = ckpt(edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")))
     var iter = 0
-    while (nEdges > 0 && iter < maxIters) {
+    // LOCAL FINISH (the standard production tail move — Kiveris et al. end
+    // the same way): once the contracted edge set fits the driver
+    // (localFinishEdges, default 100k edges = ~1.6 MB), solving it locally
+    // with union-find and broadcast-composing the fix into the labels beats
+    // 2-3 more full distributed rounds of 4-job overhead each. At 100 TB
+    // the loop contracts billions of edges down to this size in O(log d)
+    // rounds and the tail is then free. 0 disables (pure distributed loop —
+    // the spec chain tests pin that path).
+    def localFinish(): Unit = {
+      val e = edges.select(col("a"), col("b")).collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      e.foreach { row =>
+        val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+      }
+      val spark = pairs.sparkSession
+      import spark.implicits._
+      val fix = parent.keys.map(k => (k, find(k))).toSeq.toDF("label", "root")
+      labels = labels.join(broadcast(fix), Seq("label"), "left")
+        .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
+      nEdges = 0
+    }
+    while (nEdges > localFinishEdges.max(0) && iter < maxIters) {
       // contract both endpoints to their representatives, drop self-loops
       // (round 1 skips it: labels are still the identity map there)
       val contracted = if (iter == 0) edges else ckpt(edges
@@ -350,14 +380,19 @@ object TextOps {
       nEdges = contracted.count()
       edges = contracted; labels = next; iter += 1
     }
+    // the loop exits either converged (nEdges == 0), at the local-finish
+    // threshold, or at maxIters with a too-big residual (stays partial)
+    if (nEdges > 0 && localFinishEdges > 0 && nEdges <= localFinishEdges) localFinish()
     (labels, ClusterStats(nEdges == 0, iter, nEdges))
   }
 
   def dedupClusters(docs: DataFrame, threshold: Double = 0.8,
-      maxIters: Int = 20, checkpointDir: Option[String] = None): DataFrame = {
+      maxIters: Int = 20, checkpointDir: Option[String] = None,
+      localFinishEdges: Int = 100000): DataFrame = {
     val pairs = dedupMinhash(docs, threshold)
       .select(col("id_a").as("a"), col("id_b").as("b"))
-    val (labels, stats) = connectedComponents(pairs, maxIters, checkpointDir)
+    val (labels, stats) = connectedComponents(pairs, maxIters, checkpointDir,
+      localFinishEdges)
     if (!stats.converged)
       Console.err.println(s"[dedupClusters] NOT CONVERGED after ${stats.rounds} " +
         s"rounds (${stats.residualEdges} residual edges) — returning partial " +
@@ -487,12 +522,20 @@ object TextOps {
     * have collided ONLY in capped bands). Spec-pinned against a capped
     * brute-force all-pairs hamming join. */
   def dedupSimhash(spark: SparkSession, docs: DataFrame, maxHamming: Int = 3,
-      bandCap: Int = 0): DataFrame = {
+      bandCap: Int = 0): DataFrame =
+    dedupSimhashCorpus(spark, nearDupCorpus(docs), maxHamming, bandCap)
+
+  /** Core banded-hamming join over an explicit (doc_id, text) corpus —
+    * dedupSimhash feeds it the standard mutated near-dup corpus; the driver
+    * oracle query feeds an identical-copy corpus instead (hamming-0 planted
+    * pairs are then DuckDB-predictable without computing simhash in SQL). */
+  private[graft] def dedupSimhashCorpus(spark: SparkSession, corpusDocs: DataFrame,
+      maxHamming: Int, bandCap: Int): DataFrame = {
     SqlSurface.registerVecDot(spark)
     require(maxHamming >= 0 && maxHamming <= 7, "bands are 64/(maxHamming+1) bits")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
-    val corpus = nearDupCorpus(docs)
+    val corpus = corpusDocs
       .select(col("doc_id"), call_function("simhash64", col("text")).as("fp"))
     val allBands = corpus.select(col("doc_id"), col("fp"),
       posexplode(array((0 until nBands).map { b =>

@@ -24,7 +24,13 @@ object ScaleLevel {
     val docs = DocsTables.docsTableScaled(spark, sfDir, factor)
       .repartition(cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "4").toInt, org.apache.spark.sql.functions.col("doc_id")).persist()
     docs.count()
-    ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count() // warmup
+    // two full warmup passes by default: after one pass C2 compilation is
+    // still settling and the first timed legs ramp 10-20% (observed), which
+    // blows the parent's quiet-triple spread bound
+    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
+    (1 to warmups).foreach { _ =>
+      ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count()
+    }
     (1 to runs).foreach { _ =>
       val s0 = System.nanoTime()
       docs.count() // scan-only cost of the cached input

@@ -389,7 +389,8 @@ class SparkSpec extends AnyFunSuite {
     val words = (0 until 156).map(i => f"tok$i%04d")
     val docs = (0 until 30).map(i => (i.toLong, words.slice(4 * i, 4 * i + 40).mkString(" ")))
       .toDF("doc_id", "text")
-    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 10)
+    // localFinishEdges = 0: this test pins the DISTRIBUTED contraction loop
+    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 10, localFinishEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 60) // 30 docs + 30 mutated copies
     out.foreach { case (d, lbl) => assert(lbl == 0L, s"doc $d labeled $lbl, expected 0") }
@@ -622,7 +623,8 @@ class SparkSpec extends AnyFunSuite {
     val chain = (0L until 40L).sliding(2).map(s => (s.head, s.last)).toSeq ++
       (100L until 140L).sliding(2).map(s => (s.head, s.last)).toSeq
     val pairs = chain.toDF("a", "b")
-    val (labels, stats) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 1)
+    val (labels, stats) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 1,
+      localFinishEdges = 0)
     assert(!stats.converged && stats.residualEdges > 0 && stats.rounds == 1)
     val got = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(got.size == 80)
@@ -633,7 +635,8 @@ class SparkSpec extends AnyFunSuite {
       assert((d < 100) == (l < 100), s"node $d labeled across components: $l")
     }
     // same graph, enough rounds: full convergence to the component minima
-    val (full, st2) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10)
+    val (full, st2) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10,
+      localFinishEdges = 0)
     assert(st2.converged && st2.residualEdges == 0)
     val fixed = full.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     fixed.foreach { case (d, l) => assert(l == (if (d < 100) 0L else 100L), s"$d -> $l") }
@@ -650,7 +653,7 @@ class SparkSpec extends AnyFunSuite {
     val words = (0 until 156).map(i => f"tok$i%04d")
     val docs = (0 until 30).map(i => (i.toLong, words.slice(4 * i, 4 * i + 40).mkString(" ")))
       .toDF("doc_id", "text")
-    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 2)
+    val out = graft.spark.TextOps.dedupClusters(docs, maxIters = 2, localFinishEdges = 0)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.length == 60)
     // partial labels are a refinement of the (single) true component: every
@@ -666,7 +669,8 @@ class SparkSpec extends AnyFunSuite {
     // block after the run loses the data (lineage is truncated, so the
     // re-collect cannot recompute; this is what executor loss does to a
     // multi-hour clustering job mid-flight)
-    val (localLabels, _) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10)
+    val (localLabels, _) = graft.spark.TextOps.connectedComponents(pairs, maxIters = 10,
+      localFinishEdges = 0)
     localLabels.count()
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
     intercept[Exception] { localLabels.collect() }
@@ -674,7 +678,7 @@ class SparkSpec extends AnyFunSuite {
     // (shared, on a cluster) storage — the same block loss is survivable
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val (labels, stats) = graft.spark.TextOps.connectedComponents(
-      pairs, maxIters = 10, checkpointDir = Some(dir))
+      pairs, maxIters = 10, checkpointDir = Some(dir), localFinishEdges = 0)
     assert(stats.converged)
     val first = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(first.size == 40 && first.values.forall(_ == 0L))
