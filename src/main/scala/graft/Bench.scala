@@ -27,11 +27,18 @@ import org.apache.spark.sql.SparkSession
   *    co-tenancy, each child must produce a QUIET TRIPLE (3 legs whose
   *    throughput spread is within 10%, each leg clean — kernel µs/doc
   *    within 2x of the child's quietest), and the round's ratio is
-  *    tput8/(4*tput2) over the triple medians. Headline = median of
-  *    accepted rounds' ratios; quiet=true requires the median round to be
-  *    corroborated by its nearest-sorted neighbor within 10% (NOT
-  *    best-two-agree: 2-core-side contention INFLATES a ratio, so
-  *    cherry-picking the top biases up). Rounds repeat (bounded) until
+  *    tput8/(4*tput2) over the triple medians. A round is additionally
+  *    rejected when its kernel-µs/doc inflation us8/us2 exceeds the
+  *    quiet-host bandwidth bound (default 1.3; the memory-wall study puts
+  *    legitimate 8-lane inflation at ~1.17x) — sustained external bus
+  *    traffic depresses the 8-core child UNIFORMLY, passing the internal
+  *    spread test while sinking the ratio (observed: contended rounds at
+  *    us8/us2 1.37-1.60 gave ratios 0.60-0.65 vs clean rounds at 1.02-1.15
+  *    giving 0.78-0.92). Headline = median of accepted rounds' ratios;
+  *    quiet=true requires the median round to be corroborated by its
+  *    nearest-sorted neighbor within 10% (NOT best-two-agree:
+  *    2-core-side contention INFLATES a ratio, so cherry-picking the top
+  *    biases up). Rounds repeat (bounded) until
   *    corroborated; otherwise the headline is REFUSED (JSON null +
   *    reason + all rounds published) — a contended driver window fails
   *    loudly rather than under- or over-reporting (r3: driver raw 0.735
@@ -250,6 +257,15 @@ object Bench {
     // multi-node cluster adds memory channels with nodes, so this pair
     // isolates the pipeline's scaling from the single-box DRAM ceiling
     // that 16+ lanes hit.
+    // a round is accepted only when BOTH children produced a quiet triple
+    // AND the pair's kernel-µs/doc inflation (us8/us2) is within the quiet-
+    // host memory-bandwidth bound: the kernel does identical per-doc work at
+    // both levels, and the bandwidth study caps legitimate 8-lane inflation
+    // at ~1.17x on this box — a higher ratio means external bus traffic hit
+    // the (more exposed) 8-core child mid-round even if its legs were
+    // uniformly slow (observed: contended rounds at 1.37-1.60 vs clean at
+    // 1.02-1.15, with internally-consistent triples in both cases)
+    val usRatioBound = sys.env.getOrElse("SPARK_GRAFT_US_RATIO_BOUND", "1.3").toDouble
     case class Round(tput2: Double, tput8: Double, us2: Double, us8: Double,
         ok: Boolean) { def ratio: Double = if (tput2 > 0) tput8 / (4.0 * tput2) else 0.0 }
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
@@ -272,7 +288,7 @@ object Bench {
           math.max(rs(j), rs(i)) / math.min(rs(j), rs(i)) - 1.0 <= SpreadBound)
       }
     }
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "5").toInt
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "6").toInt
     while (rounds.length < 2 ||
       (!ratiosAgree && rounds.length < maxRounds && System.nanoTime() < pairDeadline)) {
       // K+1 timed runs per primary child: the quiet triple may be any 3
@@ -288,7 +304,8 @@ object Bench {
         if (us.isEmpty) 0.0 else us.min
       }
       rounds += ((g2, g8) match {
-        case (Some((t2, u2)), Some((t8, u8))) => Round(t2, t8, u2, u8, ok = true)
+        case (Some((t2, u2)), Some((t8, u8))) =>
+          Round(t2, t8, u2, u8, ok = u2 > 0 && u8 / u2 <= usRatioBound)
         case _ => Round(g2.map(_._1).getOrElse(bestT(got2)), g8.map(_._1).getOrElse(bestT(got8)),
           g2.map(_._2).getOrElse(bestU(got2)), g8.map(_._2).getOrElse(bestU(got8)), ok = false)
       })
