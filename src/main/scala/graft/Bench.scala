@@ -29,7 +29,7 @@ import org.apache.spark.sql.SparkSession
   *    within 2x of the child's quietest), and the round's ratio is
   *    tput8/(4*tput2) over the triple medians. A round is additionally
   *    rejected when its kernel-µs/doc inflation us8/us2 exceeds the
-  *    quiet-host bandwidth bound (default 1.3; the memory-wall study puts
+  *    quiet-host bandwidth bound (default 1.22; the memory-wall study puts
   *    legitimate 8-lane inflation at ~1.17x) — sustained external bus
   *    traffic depresses the 8-core child UNIFORMLY, passing the internal
   *    spread test while sinking the ratio (observed: contended rounds at
@@ -134,7 +134,7 @@ object Bench {
     legs
   }
 
-  private def median(xs: Seq[Double]): Double = {
+  private[graft] def median(xs: Seq[Double]): Double = {
     val s = xs.sorted
     if (s.isEmpty) Double.NaN
     else if (s.length % 2 == 1) s(s.length / 2)
@@ -146,6 +146,22 @@ object Bench {
   private val SpreadBound = 0.10
   private val CleanFactor = 2.0
 
+  /** The headline-corroboration rule (pure, spec-pinned): the published
+    * median must be reproduced by a second measurement — for an even count
+    * the two middle values must agree within `bound` (the median IS their
+    * mean), for an odd count the median element and a nearest-sorted
+    * neighbor must. NOT "best two agree": 2-core-side contention inflates
+    * a ratio, so corroborating the top would bias the headline up. */
+  private[graft] def medianCorroborated(ratios: Seq[Double], bound: Double): Boolean = {
+    val rs = ratios.sorted
+    rs.length >= 2 && {
+      val i = (rs.length - 1) / 2
+      val js = if (rs.length % 2 == 0) Seq(i + 1) else Seq(i - 1, i + 1)
+      js.exists(j => j >= 0 && j < rs.length && rs(i) > 0 &&
+        math.max(rs(j), rs(i)) / math.min(rs(j), rs(i)) - 1.0 <= bound)
+    }
+  }
+
   /** Legs of one level that are clean (kernel µs/doc within CleanFactor of
     * the level's own quietest leg — collapse detection). */
   private def cleanLegs(of: Seq[Leg]): Seq[Leg] = {
@@ -155,15 +171,20 @@ object Bench {
     of.filter(l => !l.kernelUsPerDoc.isNaN && l.kernelUsPerDoc <= CleanFactor * ref)
   }
 
-  /** Best quiet window: K CONSECUTIVE clean legs (measurement order) whose
-    * tput spread is within SpreadBound; pick the window with the highest
-    * median tput. None when the level never went quiet. */
-  private def quietWindow(of: Seq[Leg]): Option[Seq[Leg]] = {
-    val clean = cleanLegs(of)
-    if (clean.length < K) return None
-    val windows = clean.sliding(K).filter { w =>
-      val ts = w.map(_.tput)
-      ts.max / ts.min - 1.0 <= SpreadBound
+  /** Best quiet window: K TEMPORALLY-CONSECUTIVE legs, every one clean,
+    * whose tput spread is within SpreadBound; pick the window with the
+    * highest median tput. Consecutiveness is over the ORIGINAL measurement
+    * order — a collapsed leg in the middle means the host was unstable
+    * during that span, so it breaks the window rather than being bridged.
+    * None when the level never went quiet. */
+  private[graft] def quietWindow(of: Seq[Leg]): Option[Seq[Leg]] = {
+    val clean = cleanLegs(of).toSet
+    if (of.length < K) return None
+    val windows = of.sliding(K).filter { w =>
+      w.forall(clean.contains) && {
+        val ts = w.map(_.tput)
+        ts.max / ts.min - 1.0 <= SpreadBound
+      }
     }.toSeq
     if (windows.isEmpty) None else Some(windows.maxBy(w => median(w.map(_.tput))))
   }
@@ -265,29 +286,14 @@ object Bench {
     // the (more exposed) 8-core child mid-round even if its legs were
     // uniformly slow (observed: contended rounds at 1.37-1.60 vs clean at
     // 1.02-1.15, with internally-consistent triples in both cases)
-    val usRatioBound = sys.env.getOrElse("SPARK_GRAFT_US_RATIO_BOUND", "1.3").toDouble
+    val usRatioBound = sys.env.getOrElse("SPARK_GRAFT_US_RATIO_BOUND", "1.22").toDouble
     case class Round(tput2: Double, tput8: Double, us2: Double, us8: Double,
         ok: Boolean) { def ratio: Double = if (tput2 > 0) tput8 / (4.0 * tput2) else 0.0 }
     val rounds = scala.collection.mutable.ArrayBuffer.empty[Round]
     def childQuiet(got: Seq[Leg]): Option[(Double, Double)] =
       quietWindow(got).map(w => (median(w.map(_.tput)), median(w.map(_.kernelUsPerDoc))))
     def acceptedRatios: Seq[Double] = rounds.filter(_.ok).map(_.ratio).toSeq
-    // agreement = the MEDIAN round is corroborated by its nearest-sorted
-    // neighbor within the spread bound. Not "two best agree": contention
-    // during the 2-core child INFLATES a round's ratio, so cherry-picking
-    // the top rounds biases up; the median + neighbor rule publishes a
-    // reproduced central value and ignores outliers on either side.
-    def ratiosAgree: Boolean = {
-      val rs = acceptedRatios.sorted
-      rs.length >= 2 && {
-        val i = (rs.length - 1) / 2
-        // even n: the published median is the mean of the two middles, so
-        // THOSE must agree; odd n: the median element and a nearest neighbor
-        val js = if (rs.length % 2 == 0) Seq(i + 1) else Seq(i - 1, i + 1)
-        js.exists(j => j >= 0 && j < rs.length &&
-          math.max(rs(j), rs(i)) / math.min(rs(j), rs(i)) - 1.0 <= SpreadBound)
-      }
-    }
+    def ratiosAgree: Boolean = medianCorroborated(acceptedRatios, SpreadBound)
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "6").toInt
     while (rounds.length < 2 ||
       (!ratiosAgree && rounds.length < maxRounds && System.nanoTime() < pairDeadline)) {

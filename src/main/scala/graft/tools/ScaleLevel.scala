@@ -24,12 +24,22 @@ object ScaleLevel {
     val docs = DocsTables.docsTableScaled(spark, sfDir, factor)
       .repartition(cpus * sys.env.getOrElse("SPARK_GRAFT_PARTS_PER_CORE", "4").toInt, org.apache.spark.sql.functions.col("doc_id")).persist()
     docs.count()
-    // two full warmup passes by default: after one pass C2 compilation is
-    // still settling and the first timed legs ramp 10-20% (observed), which
-    // blows the parent's quiet-triple spread bound
-    val warmups = sys.env.getOrElse("SPARK_GRAFT_WARMUPS", "2").toInt
-    (1 to warmups).foreach { _ =>
+    // CONVERGENCE warmup: keep running full passes until the pass time
+    // stops improving (<5% vs the previous pass), min 2 / max 6. A fixed
+    // count is wrong because C2 compilation threads share the taskset —
+    // at 2 pinned cores the JIT needs 3-4 passes to settle (observed
+    // 10-20% ramp bleeding into timed legs), at 8+ cores two suffice.
+    val maxWarm = sys.env.getOrElse("SPARK_GRAFT_WARMUPS_MAX", "6").toInt
+    var prevSec = Double.MaxValue
+    var w = 0
+    var improving = true
+    while (w < maxWarm && (w < 2 || improving)) {
+      val w0 = System.nanoTime()
       ExtractPipeline.extractDocs(docs.limit(factor * 500), opts).filter(_.ok).count()
+      val sec = (System.nanoTime() - w0) / 1e9
+      improving = sec < prevSec * 0.95
+      prevSec = sec
+      w += 1
     }
     (1 to runs).foreach { _ =>
       val s0 = System.nanoTime()

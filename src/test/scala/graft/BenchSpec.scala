@@ -1,0 +1,54 @@
+package graft
+
+import graft.Bench.Leg
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The scaling harness's acceptance logic is load-bearing for the
+  * north-rule evidence — pin it with pure unit tests. */
+class BenchSpec extends AnyFunSuite {
+
+  private def leg(tput: Double, usPerDoc: Double, cpus: Int = 2): Leg =
+    // docs=1e6 => kernelCoreSec = usPerDoc (µs/doc * docs / 1e6)
+    Leg(cpus, 1000000L, 1000000.0 / tput, tput, usPerDoc, pinned = true)
+
+  test("quietWindow: accepts 3 consecutive in-spread clean legs, rejects ramps") {
+    // flat triple within 10%
+    val quiet = Seq(leg(100, 70), leg(104, 69), leg(98, 71))
+    assert(Bench.quietWindow(quiet).isDefined)
+    // JIT ramp: first leg 20% below — no 3-window within spread
+    val ramp = Seq(leg(80, 85), leg(98, 72), leg(101, 70))
+    assert(Bench.quietWindow(ramp).isEmpty)
+    // 4 legs with a ramp head: the tail triple qualifies
+    val rampTail = Seq(leg(80, 85), leg(97, 72), leg(101, 70), leg(99, 71))
+    val w = Bench.quietWindow(rampTail)
+    assert(w.isDefined && w.get.map(_.tput) == Seq(97.0, 101.0, 99.0))
+    // collapsed leg in the middle (µs/doc > 2x quietest) breaks consecutiveness
+    val collapsed = Seq(leg(100, 70), leg(40, 180), leg(101, 70), leg(99, 71))
+    assert(Bench.quietWindow(collapsed).isEmpty)
+    // in-spread but collapsed-µs legs are not a quiet window: a uniformly
+    // descheduled child must not pass on tput consistency alone
+    assert(Bench.quietWindow(Seq(leg(100, 70), leg(40, 180), leg(41, 178), leg(40, 181))).isEmpty)
+  }
+
+  test("quietWindow: picks the highest-median window among several") {
+    val legs = Seq(leg(90, 75), leg(91, 74), leg(92, 74), leg(100, 70), leg(101, 70), leg(99, 70))
+    val w = Bench.quietWindow(legs).get
+    assert(Bench.median(w.map(_.tput)) == 100.0)
+  }
+
+  test("medianCorroborated: neighbor rule, not best-two") {
+    // two agreeing rounds
+    assert(Bench.medianCorroborated(Seq(0.86, 0.88), 0.10))
+    // two discordant rounds: refused even though a midpoint would look fine
+    assert(!Bench.medianCorroborated(Seq(0.72, 0.86), 0.10))
+    // median corroborated by neighbor; low outlier ignored
+    assert(Bench.medianCorroborated(Seq(0.65, 0.84, 0.86), 0.10))
+    // best-two agree (0.84/0.86) but the MIDDLE pair does not -> refused
+    // (the top pair may be 2-core-contention-inflated; it must not carry
+    // the verdict while the published median sits between the clusters)
+    assert(!Bench.medianCorroborated(Seq(0.60, 0.61, 0.84, 0.86), 0.10))
+    // fewer than 2 rounds never corroborates
+    assert(!Bench.medianCorroborated(Seq(0.9), 0.10))
+    assert(!Bench.medianCorroborated(Nil, 0.10))
+  }
+}
