@@ -354,6 +354,17 @@ object TextOps {
       val spark = pairs.sparkSession
       import spark.implicits._
       val fix = parent.keys.map(k => (k, find(k))).toSeq.toDF("label", "root")
+      // ONE composition suffices even though mid-run labels are not yet
+      // idempotent (pointer chains can survive the one-hop flatten):
+      // every label value is either (a) a node of the remaining contracted
+      // edge set — any value written by upd/flatten is an endpoint of those
+      // edges, and union-find resolves every such node STRAIGHT to its
+      // final root (components of the contracted graph are exactly the
+      // unresolved merge groups, and each group's min id is always a
+      // surviving representative because adoption only moves downward) —
+      // or (b) an already-final root untouched by the remaining edges,
+      // which the left join passes through. Pinned by the mid-run
+      // local-finish test (chains forced through >=1 distributed round).
       labels = labels.join(broadcast(fix), Seq("label"), "left")
         .select(col("doc_id"), coalesce(col("root"), col("label")).as("label"))
       nEdges = 0
