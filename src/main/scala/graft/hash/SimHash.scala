@@ -8,18 +8,24 @@ object SimHash {
   /** Python string.punctuation. */
   private val Punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
 
+  /** Python str.split() whitespace: Java's class plus the no-break spaces
+    * Java excludes (see sampleTokens scaladoc). */
+  @inline private def isPySpace(c: Char): Boolean =
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' || c == '\u202F'
+
   /** sample_tokens (hashing.py:14-27): split, strip punctuation, keep alnum,
     * adaptive min length to keep >= length/2 tokens.
     *
     * Index-scan implementation (no regex split, no per-token reverse/
-    * dropWhile copies, single filter pass). Token boundary is
-    * `Character.isWhitespace`, which is a WIDER class than the old ASCII
-    * regex `\s`: text containing U+2028/U+3000/U+001C-1F tokenizes
-    * differently than pre-r3 builds (fingerprints for such docs differ from
-    * previously persisted state). This is intentional — the reference splits
-    * with Python's `str.split()`, whose no-arg whitespace class is the
-    * Unicode one, so isWhitespace is the higher-fidelity port. For ASCII-
-    * whitespace text the output is unchanged. The fingerprint phase was
+    * dropWhile copies, single filter pass). Token boundary is Python's
+    * `str.split()` whitespace class: `Character.isWhitespace` PLUS the
+    * no-break spaces U+00A0/U+2007/U+202F, which Python treats as
+    * whitespace but Java does not (`str.isspace()` follows the Unicode
+    * WSpace property; Java carves out the non-breaking ones). U+00A0 is
+    * ubiquitous in HTML after `&nbsp;` entity decoding, so excluding it
+    * would join NBSP-separated tokens and diverge fingerprints from the
+    * reference on common web content (ADVICE r4). Fingerprints persisted by
+    * pre-r5 builds differ for NBSP-bearing docs. The fingerprint phase was
     * ~20 KB/doc of allocation, which matters because the kernel is
     * memory-bandwidth-bound at high core counts (AllocProf). */
   def sampleTokens(input: String, length: Int = 64): List[String] = {
@@ -44,9 +50,9 @@ object SimHash {
     val n = input.length
     var i = 0
     while (i < n) {
-      while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
+      while (i < n && isPySpace(input.charAt(i))) i += 1
       var j = i
-      while (j < n && !Character.isWhitespace(input.charAt(j))) j += 1
+      while (j < n && !isPySpace(input.charAt(j))) j += 1
       if (j > i) {
         // strip leading/trailing ASCII punctuation (string.punctuation)
         var a = i

@@ -35,18 +35,41 @@ object EvalCorpus {
     * the JVM replaces each non-ASCII byte of a file name with U+FFFD, which
     * is lossy. Map both sides to '?' per non-ASCII byte so they still join. */
   def canonName(name: String): String = {
+    // keep in sync with canonNameCol (equivalence is test-pinned). Iterates
+    // by CODE POINT: the pre-r5 per-char loop emitted 2 '?' for a
+    // supplementary char (each surrogate half encoded alone is "?", 1 byte)
+    // instead of its 4 UTF-8 bytes — latent, no eval name is supplementary.
     val sb = new StringBuilder
-    name.foreach { c =>
-      if (c < 128) sb.append(c)
-      else if (c == '�') sb.append('?')
+    var i = 0
+    while (i < name.length) {
+      val cp = name.codePointAt(i)
+      if (cp < 128) sb.append(cp.toChar)
+      else if (cp == 0xFFFD) sb.append('?')
       else {
-        val n = String.valueOf(c).getBytes(java.nio.charset.StandardCharsets.UTF_8).length
-        var i = 0
-        while (i < n) { sb.append('?'); i += 1 }
+        var n = if (cp < 0x800) 2 else if (cp < 0x10000) 3 else 4
+        while (n > 0) { sb.append('?'); n -= 1 }
       }
+      i += Character.charCount(cp)
     }
     sb.toString
   }
+
+  /** Native-expression form of canonName for the DataFrame side (Catalyst
+    * regexp_replace chain, codegen'd — the last non-kernel UDF is gone):
+    * U+FFFD first (the JVM's own C-locale replacement char → one '?'), then
+    * each remaining non-ASCII code point → one '?' per UTF-8 byte, split by
+    * encoded width (2-byte U+0080-07FF, 3-byte BMP remainder, 4-byte
+    * supplementary — Java regex char classes are code-point aware, so the
+    * supplementary range never matches inside the BMP class). Lone
+    * surrogates (unpaired) land in the 3-byte class on both sides. */
+  def canonNameCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(c, "\uFFFD", "?"),
+          "[\u0080-\u07FF]", "??"),
+        "[\u0800-\uFFFF]", "???"),
+      "[\\x{10000}-\\x{10FFFF}]", "????")
 
   /** Run the extraction over the eval pages and score. `mode` mirrors the
     * comparison.py runner configs (fast / standard / precision / recall /
@@ -55,8 +78,7 @@ object EvalCorpus {
       mode: String = "standard"): Scores = {
     import spark.implicits._
     val t0 = System.nanoTime()
-    val canonUdf = udf((s: String) => canonName(s))
-    val ann = annotations(spark, jsonPath).withColumn("file", canonUdf(col("file")))
+    val ann = annotations(spark, jsonPath).withColumn("file", canonNameCol(col("file")))
     // Hadoop's listing drops files whose names hold URI-reserved chars (45 of
     // the 654 eval pages), so list with java.nio and read bytes task-side.
     val fileNames = new java.io.File(evalDir).listFiles()

@@ -222,7 +222,11 @@ object MultimodalOps {
   /** Dataset-level frame sampling: each video row yields one image row per
     * sampled frame index (doc_id preserved, media_ref suffixed `#frame-i`),
     * the shape a frame-level vision featurizer consumes downstream; non-video
-    * rows pass through unchanged. flatMap per partition, no shuffle. */
+    * rows pass through unchanged. An UNDECODABLE video row also passes
+    * through unchanged (original payload, still media_kind "video") rather
+    * than being dropped — symmetric with resizeImages' decode-failure
+    * pass-through, so corrupt blobs never silently shrink downstream row
+    * counts (ADVICE r4). flatMap per partition, no shuffle. */
   def sampleFrames(media: Dataset[MediaRow], every: Int = 2): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.mapPartitions(_.flatMap { m =>
@@ -233,7 +237,7 @@ object MultimodalOps {
             sampleFrame(m.blob, i).map(png =>
               MediaRow(m.doc_id, s"${m.media_ref}#frame-$i", "image", png))
           }
-        case None => Iterator.empty
+        case None => Iterator.single(m) // undecodable: keep the source row
       }
     })
   }

@@ -708,7 +708,10 @@ object TextOps {
         coalesce(sum(when(col("in_exact").isNull, 1)), lit(0)).as("n_false"))
       .select(col("n_exact"),
         (col("n_false") === 0).as("precision_ok"),
-        (col("n_hit") / col("n_exact") >= recallFloor).as("recall_ok"))
+        // degenerate n_exact=0 guard: non-ANSI divide yields NULL and the
+        // oracle predicts TRUE — zero exact pairs means trivially-met recall
+        when(col("n_exact") === 0, lit(true))
+          .otherwise(col("n_hit") / col("n_exact") >= recallFloor).as("recall_ok"))
   }
 
   def embLshRecallOracle(threshold: Double = 0.35, cap: Int = 2000): String =

@@ -450,6 +450,16 @@ class KernelSpec extends AnyFunSuite {
     assert(SimHash.similarity(a, c) < 1.0)
   }
 
+  test("sample_tokens splits on no-break spaces like Python str.split (ADVICE r4)") {
+    // U+00A0 (the &nbsp; decode), U+2007, U+202F are whitespace to Python's
+    // no-arg str.split() but not to Character.isWhitespace
+    assert(SimHash.sampleTokens("alpha\u00A0beta\u2007gamma\u202Fdelta epsilon") ==
+      List("alpha", "beta", "gamma", "delta", "epsilon"))
+    // NBSP-joined tokens must hash like space-joined ones
+    assert(SimHash.createHash("first\u00A0second third fourth fifth sixth") ==
+      SimHash.createHash("first second third fourth fifth sixth"))
+  }
+
   test("metadata title/url/sitename basics") {
     val h = """<html><head><title>Test Title — Example.org</title><meta property="og:title" content="OG Title"/><meta property="og:description" content="desc"/><link rel="canonical" href="https://www.example.org/page"/></head><body><article><p>Some text here that is long enough for the extractor to proceed.</p></article></body></html>"""
     val d = Extraction.bareExtraction(h, null, Zero)

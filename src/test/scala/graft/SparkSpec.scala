@@ -270,6 +270,14 @@ class SparkSpec extends AnyFunSuite {
     val dims = frames.map(f => MultimodalOps.decodeImage(f.blob).get).toSet
     assert(dims == Set((MultimodalOps.imgWidth(vid.doc_id), MultimodalOps.imgHeight(vid.doc_id))))
     assert(!java.util.Arrays.equals(frames(0).blob, frames(1).blob), "frames should differ")
+    // undecodable video payload: the source row passes through unchanged
+    // (no silent drop — ADVICE r4)
+    val corrupt = spark.createDataset(Seq(
+      MultimodalOps.MediaRow(999L, "bad.gif", "video", Array[Byte](1, 2, 3))))(
+      org.apache.spark.sql.Encoders.product[MultimodalOps.MediaRow])
+    val passed = MultimodalOps.sampleFrames(corrupt).collect()
+    assert(passed.length == 1 && passed.head.media_kind == "video" &&
+      java.util.Arrays.equals(passed.head.blob, Array[Byte](1, 2, 3)))
   }
 
   test("SRP-LSH embedding near-dup: subset of exact pairs with usable recall") {
@@ -711,5 +719,20 @@ class SparkSpec extends AnyFunSuite {
         .filter(col("s.n") =!= col("b.n"))
       assert(joined.count() == 0, "streamed window counts disagree with batch")
     } finally q.stop()
+  }
+
+  test("canonNameCol (native regexp chain) equals canonName on eval-style names") {
+    import org.apache.spark.sql.functions._
+    val names = Seq(
+      "plain-ascii_file.html", "café-menü.html", // 2-byte class
+      "ßäöü.html", "日本語ページ.html", // 3-byte
+      "résumé � twice�.html", // the JVM's own C-locale char
+      "emoji-😀-name.html", // supplementary (4-byte)
+      "mix صفحة & рус 100%.html")
+    val df = spark.createDataset(names)(org.apache.spark.sql.Encoders.STRING).toDF("f")
+    val got = df.select(graft.spark.EvalCorpus.canonNameCol(col("f")).as("c"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got == names.map(graft.spark.EvalCorpus.canonName),
+      "native canonNameCol diverged from the Scala canonName")
   }
 }
