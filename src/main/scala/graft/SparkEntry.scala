@@ -75,9 +75,14 @@ object SparkEntry {
     // kernel's extracted text is oracle-predictable (= documents.text), so
     // DuckDB replays the whole chain with its recursive-CTE closure.
     "pipeline_dedup" -> ((s, dir) => {
-      val txt = extracted(s, dir).select(col("doc_id").cast("long").as("doc_id"),
-        element_at(filter(col("spans"), x => x.getField("kind") === "p"), 1)
-          .getField("text").as("text"))
+      // the kernel output is PERSISTED before fan-out: the corpus expansion
+      // and final labeling otherwise re-execute extraction up to 4x (the
+      // r4 scale flaw) — plan-pinned by the "pipeline_dedup runs the kernel
+      // once" test
+      val txt = TextOps.cachePipelineInput(
+        extracted(s, dir).select(col("doc_id").cast("long").as("doc_id"),
+          element_at(filter(col("spans"), x => x.getField("kind") === "p"), 1)
+            .getField("text").as("text")))
       TextOps.dedupClusters(txt)
         .groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("n_members"))

@@ -208,8 +208,29 @@ object TextOps {
     * release can call releaseCaches() after their action completes. */
   @volatile private var lastSigs: DataFrame = null
 
+  /** Previous pipeline-input cache (cachePipelineInput) — same lifecycle. */
+  @volatile private var lastInput: DataFrame = null
+
   def releaseCaches(): Unit = synchronized {
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
+    if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
+  }
+
+  /** Persist an EXPENSIVE dedup-pipeline input (e.g. the extraction kernel's
+    * output) so every downstream consumer reads one materialization. The
+    * near-dup corpus expansion reads its source once per union branch and
+    * the final cluster labeling re-derives it, so an un-persisted kernel
+    * input re-executes extraction up to 4x per pipeline run — invisible at
+    * bench scale where extraction is ~60 µs/doc, a scale-killer at 100 TB
+    * where extraction dominates (VERDICT r4). In the production pipeline the
+    * equivalent move is staging extracted text via the commit-log table
+    * (ExtractPipeline); this is the in-query form. Cache lifecycle follows
+    * lastSigs: released on the next call or via releaseCaches(). */
+  def cachePipelineInput(df: DataFrame): DataFrame = synchronized {
+    if (lastInput != null) lastInput.unpersist(false)
+    val p = df.persist()
+    lastInput = p
+    p
   }
 
   def dedupMinhash(docs: DataFrame, threshold: Double = 0.8,

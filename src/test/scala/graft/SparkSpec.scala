@@ -721,6 +721,38 @@ class SparkSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("pipeline_dedup executes the extraction kernel once: cached scans only in the final plan") {
+    // the r4 scale flaw: un-persisted kernel output fed the corpus expansion
+    // (2 union branches) and the final labeling (2 more) -> 4x extraction.
+    // With cachePipelineInput the kernel materializes one InMemoryRelation;
+    // every consumer must read it via InMemoryTableScan, so the final plan
+    // may contain NO kernel MapPartitions/DeserializeToObject nodes.
+    val df = SparkEntry.queries("pipeline_dedup")(spark, sf)
+    // structural traversal (NOT string match: an InMemoryTableScan PRINTS its
+    // cached relation's build plan, which legitimately contains the one
+    // MapPartitions that materializes the cache). collect() stops at leaf
+    // nodes, so any MapPartitions it finds is a genuine re-execution.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def unwrap(p: SparkPlan): SparkPlan = p match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case other => other
+    }
+    val exec = unwrap(df.queryExecution.executedPlan)
+    val kernelNodes = exec.collect {
+      case m if m.nodeName.contains("MapPartitions") => m
+    }
+    assert(kernelNodes.isEmpty,
+      s"kernel re-execution leaked into the pipeline_dedup plan:\n$exec")
+    val cachedScans = exec.collect {
+      case s if s.nodeName.contains("InMemoryTableScan") => s
+    }
+    assert(cachedScans.nonEmpty,
+      s"expected cached kernel output in the pipeline_dedup plan:\n$exec")
+    assert(df.count() > 0)
+    graft.spark.TextOps.releaseCaches()
+  }
+
   test("canonNameCol (native regexp chain) equals canonName on eval-style names") {
     import org.apache.spark.sql.functions._
     val names = Seq(
