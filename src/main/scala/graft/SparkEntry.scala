@@ -98,6 +98,10 @@ object SparkEntry {
     "ann_cosine_ivf" -> ((s, dir) =>
       TextOps.annCosineIvf(DocsTables.embeddings(s, dir), nCells = 16, nProbe = 16)
         .withColumn("rank", col("rank").cast("long"))),
+    // the IVF PRODUCTION configuration's quality contract (nProbe=4 of 16,
+    // fitted centroids): DuckDB recomputes the exact top-k; the row asserts
+    // recall >= the documented floor (probed 0.88-0.96, floor 0.7)
+    "ivf_recall" -> ((s, dir) => TextOps.ivfRecall(DocsTables.embeddings(s, dir))),
     "emb_near_dup" -> ((s, dir) => TextOps.embeddingNearDup(DocsTables.embeddings(s, dir), 0.5)),
     // the SRP-LSH scale path's quality contract: n_exact is recomputed by
     // DuckDB; precision/recall of the (fixed-seed, deterministic) LSH vs the
@@ -253,6 +257,7 @@ object SparkEntry {
          |FROM clusters GROUP BY cluster_id""".stripMargin,
     "ann_cosine" -> TextOps.annCosineOracle(),
     "ann_cosine_ivf" -> TextOps.annCosineOracle(),
+    "ivf_recall" -> TextOps.ivfRecallOracle(),
     "emb_lsh_recall" -> TextOps.embLshRecallOracle(),
     "emb_near_dup" ->
       """SELECT a.vec_id AS a_id, b.vec_id AS b_id

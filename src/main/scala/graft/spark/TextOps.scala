@@ -797,6 +797,39 @@ object TextOps {
     cents
   }
 
+  /** Oracle-checkable quality contract for the IVF scale path at its
+    * PRODUCTION configuration (nProbe < nCells, fitted centroids) — the
+    * recall/cost point a 100 TB user actually runs, as opposed to the
+    * machinery-validating nProbe=nCells row which is provably ≡ brute force
+    * (ann_cosine_ivf). Shape mirrors embLshRecall: DuckDB recomputes the
+    * exact top-k (annCosineOracle), the row asserts the IVF result found at
+    * least `recallFloor` of it. Deterministic: the k-means fit is
+    * fixed-init/fixed-iteration and ties break on nid, so the driver
+    * hash-compares (n_exact, TRUE) stably. Floor chosen from probed recall
+    * 0.88 / 0.88 / 0.96 at nProbe=4 of 16 on sf0.001/0.01/0.1
+    * (tools/IvfProbe — full nProbe curve in BASELINE.md), leaving ≥18
+    * points of corpus-drift margin. */
+  def ivfRecall(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
+      nCells: Int = 16, nProbe: Int = 4, fitIters: Int = 3,
+      recallFloor: Double = 0.7): DataFrame = {
+    val exact = annCosineTopK(embeddings, nQueries, k)
+      .select(col("qid"), col("nid"), lit(1).as("in_exact"))
+    val ivf = annCosineIvf(embeddings, nQueries, k, nCells, nProbe, fitIters)
+      .select(col("qid"), col("nid"), lit(1).as("in_ivf"))
+    exact.join(ivf, Seq("qid", "nid"), "full_outer")
+      .agg(
+        coalesce(sum(col("in_exact")), lit(0)).cast("long").as("n_exact"),
+        coalesce(sum(when(col("in_exact").isNotNull && col("in_ivf").isNotNull, 1)), lit(0))
+          .cast("double").as("n_hit"))
+      .select(col("n_exact"),
+        when(col("n_exact") === 0, lit(true))
+          .otherwise(col("n_hit") / col("n_exact") >= recallFloor).as("recall_ok"))
+  }
+
+  def ivfRecallOracle(nQueries: Int = 10, k: Int = 5): String =
+    s"""SELECT CAST(count(*) AS BIGINT) AS n_exact, TRUE AS recall_ok
+       |FROM (${annCosineOracle(nQueries, k).replace("\n", "\n  ")}) exact_topk""".stripMargin
+
   def annCosineIvf(embeddings: DataFrame, nQueries: Int = 10, k: Int = 5,
       nCells: Int = 16, nProbe: Int = 4, fitIters: Int = 0): DataFrame = {
     SqlSurface.registerVecDot(embeddings.sparkSession)

@@ -753,6 +753,16 @@ class SparkSpec extends AnyFunSuite {
     graft.spark.TextOps.releaseCaches()
   }
 
+  test("ivf_recall: production nProbe=4/16 clears the documented floor deterministically") {
+    val rows = SparkEntry.queries("ivf_recall")(spark, sf).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(0) == 50, s"n_exact = ${rows.head.getLong(0)}")
+    assert(rows.head.getBoolean(1), "recall_ok false: below the 0.7 floor")
+    // determinism: a second evaluation hashes identically (fit is fixed-init)
+    val again = SparkEntry.queries("ivf_recall")(spark, sf).collect()
+    assert(again.head == rows.head)
+  }
+
   test("canonNameCol (native regexp chain) equals canonName on eval-style names") {
     import org.apache.spark.sql.functions._
     val names = Seq(
