@@ -107,7 +107,8 @@ object SparkEntry {
     // DuckDB; precision/recall of the (fixed-seed, deterministic) LSH vs the
     // exact pair set must clear the documented floors
     "emb_lsh_recall" -> ((s, dir) => TextOps.embLshRecall(DocsTables.embeddings(s, dir))),
-    // --- multimodal plumbing (binary blobs + typed metadata; stubbed codec)
+    // --- multimodal (binary blobs + typed metadata; real JDK codecs end to
+    // end, pixel-space features — pix_sum is the closed-form decode invariant)
     "media_features" -> ((s, dir) => graft.spark.MultimodalOps.mediaFeaturesQuery(s, dir)),
     // --- windowed analytics: gap-based sessionization over the events table
     "events_sessions" -> ((s, dir) =>

@@ -10,16 +10,17 @@ import org.apache.spark.sql.functions._
   * Image rows carry REAL PNG payloads (synthesized deterministically,
   * decoded with ImageIO on the executor) and audio rows REAL 16-bit PCM WAV
   * payloads (synthesized and decoded with javax.sound.sampled) — both paths
-  * use the real JDK codec, not a stub. Only video remains a clearly-marked
-  * STUB (the JDK ships no video codec); its batching/schema/partitioning is
-  * the real pipeline either way. */
+  * use the real JDK codec, not a stub. Video rides as a multi-frame animated
+  * GIF (the closest in-JDK stand-in for a video container) decoded frame by
+  * frame with the real JDK GIF reader; features for all three kinds are
+  * computed from DECODED pixels/samples (pixelFeatures) — no stub remains. */
 object MultimodalOps {
 
   final case class MediaRow(doc_id: Long, media_ref: String, media_kind: String,
       blob: Array[Byte])
   final case class MediaFeatures(doc_id: Long, media_kind: String, blob_len: Long,
       width: Int, height: Int, n_frames: Int, sample_rate: Int, n_samples: Long,
-      feature: Seq[Float])
+      pix_sum: Long, feature: Seq[Float])
 
   /** Deterministic image dimensions per doc (SQL-predictable, so the DuckDB
     * oracle can verify the full encode→decode roundtrip). */
@@ -242,24 +243,134 @@ object MultimodalOps {
     })
   }
 
-  /** STUB feature extraction: deterministic 8-dim float vector from bytes
-    * (a real audio/video featurizer would drop in here). */
-  def featureStub(blob: Array[Byte], dim: Int = 8): Array[Float] = {
-    val out = new Array[Float](dim)
-    var i = 0
-    while (i < blob.length) {
-      out(i % dim) += (blob(i) & 0xff) / 255.0f
-      i += 1
-    }
-    out
+  /** PIXEL-SPACE feature extraction — every dimension is computed from the
+    * DECODED content (pixels / PCM samples / per-frame pixels), not encoded
+    * bytes; the last marked stub is gone. Returns the 8-dim float feature
+    * plus `pixSum`, an EXACT integer invariant of the decode (image: sum of
+    * decoded blue-channel bytes; audio: sum of decoded PCM samples; video:
+    * sum of blue bytes across all decoded frames). pixSum is what the
+    * DuckDB oracle pins closed-form for the lossless codecs (PNG pixels and
+    * WAV samples roundtrip exactly; GIF is palette-quantized, so video's
+    * pixel sums are real-but-encoder-defined and oracle-masked).
+    * Undecodable payloads yield a zero vector and pixSum = -2. */
+  def pixelFeatures(m: MediaRow): (Array[Float], Long) = m.media_kind match {
+    case "image" =>
+      val img = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.blob))
+        catch { case _: java.io.IOException => null }
+      if (img == null) (new Array[Float](8), -2L) else imageFeature(Seq(img))
+    case "audio" =>
+      decodePcm(m.blob) match {
+        case None => (new Array[Float](8), -2L)
+        case Some((rate, pcm)) =>
+          var sum = 0L; var sumAbs = 0L; var sumSq = 0.0
+          var mn = Int.MaxValue; var mx = Int.MinValue; var zc = 0
+          var i = 0
+          while (i < pcm.length) {
+            val v = pcm(i)
+            sum += v; sumAbs += math.abs(v); sumSq += v.toDouble * v
+            if (v < mn) mn = v
+            if (v > mx) mx = v
+            if (i > 0 && (pcm(i - 1) < 0) != (v < 0)) zc += 1
+            i += 1
+          }
+          val n = math.max(1, pcm.length)
+          (Array[Float](
+            (sum.toDouble / n / 32768.0).toFloat,
+            (sumAbs.toDouble / n / 32768.0).toFloat,
+            (math.sqrt(sumSq / n) / 32768.0).toFloat,
+            zc.toFloat / n,
+            mn / 32768.0f, mx / 32768.0f,
+            rate / 48000.0f,
+            (pcm.length / math.max(1.0, rate.toDouble)).toFloat), sum)
+      }
+    case "video" =>
+      decodeFrames(m.blob) match {
+        case Nil => (new Array[Float](8), -2L)
+        case frames => imageFeature(frames)
+      }
+    case _ => (new Array[Float](8), -2L)
   }
+
+  /** Shared pixel statistics over one or more decoded frames: channel means,
+    * luma mean/std, horizontal-gradient mean, aspect — all over getRGB
+    * values, identical code path for a single image and a frame stack. */
+  private def imageFeature(frames: Seq[java.awt.image.BufferedImage]): (Array[Float], Long) = {
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var sumLuma = 0L; var sumLuma2 = 0.0; var sumHDiff = 0L
+    var n = 0L; var hDiffN = 0L
+    val w = frames.head.getWidth; val h = frames.head.getHeight
+    frames.foreach { img =>
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        var prevLuma = -1
+        while (x < img.getWidth) {
+          val rgb = img.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff; val g = (rgb >> 8) & 0xff; val b = rgb & 0xff
+          sumR += r; sumG += g; sumB += b
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          sumLuma += luma; sumLuma2 += luma.toDouble * luma
+          if (prevLuma >= 0) { sumHDiff += math.abs(luma - prevLuma); hDiffN += 1 }
+          prevLuma = luma
+          n += 1; x += 1
+        }
+        y += 1
+      }
+    }
+    val meanLuma = sumLuma.toDouble / n
+    val varLuma = sumLuma2 / n - meanLuma * meanLuma
+    (Array[Float](
+      (sumR.toDouble / n / 255.0).toFloat,
+      (sumG.toDouble / n / 255.0).toFloat,
+      (sumB.toDouble / n / 255.0).toFloat,
+      (meanLuma / 255.0).toFloat,
+      (math.sqrt(math.max(0.0, varLuma)) / 255.0).toFloat,
+      (if (hDiffN == 0) 0.0 else sumHDiff.toDouble / hDiffN / 255.0).toFloat,
+      w.toFloat / (w + h), h.toFloat / (w + h)), sumB)
+  }
+
+  /** Decode a WAV payload to its 16-bit signed PCM samples (little-endian
+    * mono, the synth format). Returns (sampleRate, samples) or None. */
+  private def decodePcm(blob: Array[Byte]): Option[(Int, Array[Int])] =
+    try {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        val bytes = ais.readAllBytes()
+        val out = new Array[Int](bytes.length / 2)
+        var i = 0
+        while (i < out.length) {
+          out(i) = ((bytes(2 * i + 1) << 8) | (bytes(2 * i) & 0xff))
+          i += 1
+        }
+        Some((ais.getFormat.getSampleRate.toInt, out))
+      } finally ais.close()
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => None
+      case _: java.io.IOException => None
+    }
+
+  /** Decode every frame of a GIF container to BufferedImages. Nil when not
+    * decodable. */
+  private def decodeFrames(blob: Array[Byte]): List[java.awt.image.BufferedImage] =
+    try {
+      val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(blob))
+      try {
+        reader.setInput(iis)
+        val nf = reader.getNumImages(true)
+        (0 until nf).map(reader.read).toList
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: java.io.IOException | _: IllegalArgumentException => Nil }
 
   /** decode + feature-extract as one typed per-partition pass. Image rows go
     * through the real ImageIO decoder, audio rows through the real
     * javax.sound.sampled WAV decoder, video rows through the real JDK GIF
-    * frame reader (dimensions + per-frame walk for n_frames). The only
-    * remaining stub is the FEATURIZER for video content (featureStub — no
-    * pixel-semantic model in the JDK); every decode is real. */
+    * frame reader (dimensions + per-frame walk for n_frames). The feature
+    * vector is pixel-space for ALL kinds (pixelFeatures): channel/luma
+    * statistics over decoded pixels for image and per-frame video, PCM
+    * sample statistics for audio — no encoded-byte arithmetic remains. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
@@ -274,8 +385,9 @@ object MultimodalOps {
         val (sr, ns) =
           if (m.media_kind == "audio") decodeAudio(m.blob).getOrElse((-2, -2L))
           else (-1, -1L)
+        val (feat, pixSum) = pixelFeatures(m)
         MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, w, h, nf,
-          sr, ns, featureStub(m.blob).toSeq)
+          sr, ns, pixSum, feat.toSeq)
       }
     }
   }
@@ -284,16 +396,25 @@ object MultimodalOps {
     * encode→JDK-decode roundtrip against a closed-form prediction —
     * width/height for image (PNG/ImageIO) AND video (GIF frame reader) rows,
     * n_frames for video rows (per-frame `getNumImages(true)` walk),
-    * sample_rate/n_samples for audio (WAV/javax.sound) rows. No payload's
-    * byte length is closed-form anymore (all three kinds are real encodes),
-    * so blob_len is normalized out of the oracle projection. */
+    * sample_rate/n_samples for audio (WAV/javax.sound) rows, and `pix_sum`,
+    * the PIXEL-SPACE invariant: for image rows DuckDB re-derives the sum of
+    * decoded blue-channel bytes from the synth formula (the blue byte of
+    * pixel (x,y) is (seed*31+7x+13y) mod 256 and PNG roundtrips pixels
+    * exactly), for audio rows the sum of decoded PCM samples (WAV is
+    * lossless PCM). Both are exact INTEGER sums — no float comparison
+    * hazard. Video pixel sums are real but GIF-palette-quantized
+    * (encoder-defined, not closed-form), so the projection masks them to -1
+    * on both sides; blob_len stays normalized out (no encode is
+    * byte-predictable). */
   def mediaFeaturesQuery(spark: SparkSession, sfDir: String): DataFrame = {
     extractFeatures(mediaTable(spark, sfDir))
       .toDF()
       .select(col("doc_id"), col("media_kind"),
         col("width").cast("long"), col("height").cast("long"),
         col("n_frames").cast("long"),
-        col("sample_rate").cast("long"), col("n_samples").cast("long"))
+        col("sample_rate").cast("long"), col("n_samples").cast("long"),
+        when(col("media_kind") === "video", lit(-1L))
+          .otherwise(col("pix_sum")).as("pix_sum"))
   }
 
   val mediaFeaturesOracle: String =
@@ -303,6 +424,15 @@ object MultimodalOps {
       | CAST(CASE WHEN doc_id % 3 <> 1 THEN 16 + doc_id % 29 ELSE -1 END AS BIGINT) AS height,
       | CAST(CASE WHEN doc_id % 3 = 2 THEN 1 + doc_id % 4 ELSE 1 END AS BIGINT) AS n_frames,
       | CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (doc_id % 5) * 2000 ELSE -1 END AS BIGINT) AS sample_rate,
-      | CAST(CASE WHEN doc_id % 3 = 1 THEN 400 + doc_id % 100 ELSE -1 END AS BIGINT) AS n_samples
+      | CAST(CASE WHEN doc_id % 3 = 1 THEN 400 + doc_id % 100 ELSE -1 END AS BIGINT) AS n_samples,
+      | CAST(CASE
+      |  WHEN doc_id % 3 = 0 THEN list_sum(list_transform(
+      |    range(0, (16 + doc_id % 32) * (16 + doc_id % 29)),
+      |    i -> (doc_id * 31 + (i % (16 + doc_id % 32)) * 7
+      |          + (i // (16 + doc_id % 32)) * 13) % 256))
+      |  WHEN doc_id % 3 = 1 THEN list_sum(list_transform(
+      |    range(0, 400 + doc_id % 100),
+      |    i -> (doc_id * 31 + i * 7919) % 65536 - 32768))
+      |  ELSE -1 END AS BIGINT) AS pix_sum
       |FROM documents""".stripMargin
 }

@@ -753,6 +753,36 @@ class SparkSpec extends AnyFunSuite {
     graft.spark.TextOps.releaseCaches()
   }
 
+  test("multimodal: features are pixel-space — decoded-channel stats, closed-form pix sums") {
+    import graft.spark.MultimodalOps
+    val feats = MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, sf))
+      .collect().groupBy(_.media_kind)
+    // image: pix_sum is the synth blue-channel sum (closed form) and the
+    // blue-mean feature dim is exactly pix_sum normalized
+    feats("image").take(5).foreach { f =>
+      val (w, h) = (MultimodalOps.imgWidth(f.doc_id), MultimodalOps.imgHeight(f.doc_id))
+      val expected = (0 until w * h).map(i =>
+        (f.doc_id * 31 + (i % w) * 7 + (i / w) * 13) % 256).sum
+      assert(f.pix_sum == expected, s"image ${f.doc_id}")
+      assert(math.abs(f.feature(2) - f.pix_sum.toDouble / (w * h) / 255.0) < 1e-6)
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+    // audio: pix_sum is the synth PCM sample sum (closed form); rms/meanAbs
+    // dims are sane magnitudes for the full-range synth signal
+    feats("audio").take(5).foreach { f =>
+      val n = MultimodalOps.audioNumSamples(f.doc_id)
+      val expected = (0 until n).map(i => (f.doc_id * 31 + i * 7919) % 65536 - 32768).sum
+      assert(f.pix_sum == expected, s"audio ${f.doc_id}")
+      assert(f.feature(2) > 0.3f && f.feature(2) <= 1f, "rms out of range")
+    }
+    // video: real per-frame pixel stats (non-degenerate channel means from
+    // the decoded frame stack; GIF palette makes them real-but-not-closed-form)
+    feats("video").take(5).foreach { f =>
+      assert(f.feature.take(4).exists(_ > 0f), s"video ${f.doc_id}: zero pixel stats")
+      assert(f.feature.forall(v => v >= 0f && v <= 1f))
+    }
+  }
+
   test("ivf_recall: production nProbe=4/16 clears the documented floor deterministically") {
     val rows = SparkEntry.queries("ivf_recall")(spark, sf).collect()
     assert(rows.length == 1)
