@@ -56,7 +56,15 @@ object LangId {
     "hu" -> ("a az és hogy nem is egy ez van volt már csak meg el mint ki még azt " +
       "vagy ha fel le be mi pedig lehet lesz"),
     "sv" -> ("och i att det som en på är av för med till den har de inte om ett han " +
-      "men var vid kan sig från så vi under eller nu skulle efter man mycket"))
+      "men var vid kan sig från så vi under eller nu skulle efter man mycket"),
+    "da" -> ("og i at det er en til af på de med den for der var han som ikke et men " +
+      "om hun jeg har sig vi skal kan man blev da så efter op ved også fra eller " +
+      "hvad nu hvor sin over være havde ham alle noget meget når kunne mod hvis " +
+      "kun ud år bliver blive uge uger nogle sådan mig dig os ned"),
+    "nb" -> ("og i det er som en på til av at han med for ikke den har de et om men " +
+      "seg hun var fra ved kan vil ble så skal å meg da sin etter opp andre hvor " +
+      "eller noe dette alle når være hadde mot under også år hans nå bare mer " +
+      "ut skulle blir bli uke uker noen slik deg oss denne"))
 
   /** L2-normalized trigram frequency profiles, Zipf-weighted (word i in a
     * frequency-ordered list carries weight 1/(i+3)). */
@@ -76,6 +84,8 @@ object LangId {
       val norm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
       lang -> counts.iterator.map { case (k, v) => k -> v / norm }.toMap
   }
+
+  private val ProfileMap: Map[String, Map[String, Double]] = Profiles.toMap
 
   /** Detect the language of `text`; null when nothing scores (e.g. empty or
     * digits-only input). */
@@ -133,39 +143,98 @@ object LangId {
     }
     if (counts.isEmpty) return null
     val inNorm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
-    var bestLang: String = null
-    var bestScore = 0.0
-    var secondScore = 0.0
-    Profiles.foreach { case (lang, prof) =>
+    val scored = Profiles.map { case (lang, prof) =>
       var dot = 0.0
       counts.foreach { case (t, v) =>
         val p = prof.getOrElse(t, 0.0)
         if (p > 0) dot += v * p
       }
-      val score = dot / inNorm
-      if (score > bestScore) {
-        secondScore = bestScore; bestScore = score; bestLang = lang
-      } else if (score > secondScore) secondScore = score
-    }
+      lang -> dot / inNorm
+    }.sortBy(-_._2)
+    val (bestLang, bestScore) = scored.head
+    val (secondLang, secondScore) = scored(1)
     // Accept only with a MARGIN over the runner-up: a Latin-script language
-    // OUTSIDE the profiled set (da, ro, fi, …) scores moderately against
-    // several near-neighbor profiles at once (da ≈ sv/nl/de), and a bare
-    // argmax would confidently mislabel it — profiled languages separate
+    // OUTSIDE the profiled set (ro, fi, …) scores moderately against
+    // several near-neighbor profiles at once, and a bare argmax would
+    // confidently mislabel it — unrelated profiled languages separate
     // cleanly (margin >= ~25% on running text), unprofiled ones bunch up.
     // On abstention languageClassifier falls back to the stopword heuristic.
-    if (bestScore > MinScore && bestScore - secondScore >= Margin * bestScore)
-      bestLang
-    else null
+    if (bestScore <= MinScore) null
+    else if (bestScore - secondScore >= Margin * bestScore) bestLang
+    else if (Confusable.contains(Set(bestLang, secondLang))) {
+      // DIALECT-CONTINUUM pair (da/nb): the shared function-word mass
+      // dominates both dots, so the margin can never separate them — and
+      // can even rank the wrong member first. Standard hierarchical move:
+      // first require the PAIR to clear the margin against the best
+      // language outside it (so an unprofiled tongue that merely lands on
+      // the cluster still abstains), then decide WITHIN the pair on the
+      // profiles' DISJOINT trigrams only (af/av, blev/ble, op/opp,
+      // efter/etter… — the orthographic discriminators the shared mass
+      // drowns). Nynorsk, outside the set, resolves to nb here — the
+      // conventional fold for this granularity.
+      val outside = scored.find(s => !Set(bestLang, secondLang).contains(s._1))
+      if (outside.exists(o => bestScore - o._2 < Margin * bestScore)) null
+      else {
+        val pa = ProfileMap(bestLang)
+        val pb = ProfileMap(secondLang)
+        var da = 0.0
+        var db = 0.0
+        counts.foreach { case (t, v) =>
+          val a = pa.getOrElse(t, 0.0)
+          val b = pb.getOrElse(t, 0.0)
+          if (a > 0 && b == 0) da += v * a
+          else if (b > 0 && a == 0) db += v * b
+        }
+        if (da == db) null else if (da > db) bestLang else secondLang
+      }
+    } else null
   }
 
+  /** Pairs too close for the runner-up margin (same dialect continuum),
+    * resolved by the disjoint-trigram tie-break above. */
+  private val Confusable: Set[Set[String]] = Set(Set("da", "nb"))
+
   /** Supported Latin-script set = WordLists keys (en de fr es it pt nl pl cs
-    * tr hu sv); script-range set: ru el ko ja zh ar he. Text in most other
-    * languages abstains (returns null) by the margin gate above — probed:
-    * da/ro/fi abstain at Margin=0.15. Known residual: Norwegian Bokmål still
-    * clears the margin against the nl profile (it shares da's function words,
-    * which overlap nl/sv/de trigrams heavily); adding a da/no profile is the
-    * fix if those corpora matter. */
+    * tr hu sv da nb); script-range set: ru el ko ja zh ar he. Text in most
+    * other languages abstains (returns null) by the margin gate above —
+    * probed: ro/fi abstain at Margin=0.15 (tools/LangProbe). The da/nb pair
+    * sits inside one dialect continuum and is resolved by the
+    * disjoint-trigram tie-break rather than the margin; Nynorsk folds to nb
+    * at this granularity. */
   def supportedLatin: Seq[String] = WordLists.map(_._1)
+
+  /** Per-profile cosine scores, descending — diagnostics for profile tuning
+    * (tools/LangProbe); same pipeline as detect minus the gates. */
+  def profileScores(text: String): Seq[(String, Double)] = {
+    val counts = mutable.HashMap.empty[String, Double]
+    val sb = new java.lang.StringBuilder(text.length + 2)
+    sb.append(' ')
+    var i = 0
+    val n = math.min(text.length, 4096)
+    while (i < n) {
+      val c = text.charAt(i)
+      if (Character.isLetter(c)) sb.append(Character.toLowerCase(c))
+      else if (sb.charAt(sb.length() - 1) != ' ') sb.append(' ')
+      i += 1
+    }
+    sb.append(' ')
+    var j = 0
+    while (j + 3 <= sb.length()) {
+      val t = sb.substring(j, j + 3)
+      if (t != "   ") counts(t) = counts.getOrElse(t, 0.0) + 1.0
+      j += 1
+    }
+    if (counts.isEmpty) return Nil
+    val inNorm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
+    Profiles.map { case (lang, prof) =>
+      var dot = 0.0
+      counts.foreach { case (t, v) =>
+        val p = prof.getOrElse(t, 0.0)
+        if (p > 0) dot += v * p
+      }
+      lang -> dot / inNorm
+    }.sortBy(-_._2)
+  }
 
   private val MinScore = 0.05
   private val Margin = 0.15

@@ -19,7 +19,9 @@ class LangIdSpec extends AnyFunSuite {
     "cs" -> "Výbor prohlásil, že zpráva bude zveřejněna v nadcházejících týdnech a že všechny výsledky budou k dispozici veřejnosti.",
     "tr" -> "Komite, raporun önümüzdeki haftalarda yayınlanacağını ve tüm sonuçların kamuya açık olacağını açıkladı.",
     "hu" -> "A bizottság közölte, hogy a jelentést a következő hetekben teszik közzé, és hogy az összes eredmény elérhető lesz a nyilvánosság számára.",
-    "sv" -> "Kommittén sade att rapporten kommer att publiceras under de kommande veckorna och att alla resultat kommer att vara tillgängliga för allmänheten.")
+    "sv" -> "Kommittén sade att rapporten kommer att publiceras under de kommande veckorna och att alla resultat kommer att vara tillgängliga för allmänheten.",
+    "da" -> "Udvalget meddelte, at rapporten vil blive offentliggjort i de kommende uger, og at alle resultater vil være tilgængelige for offentligheden.",
+    "nb" -> "Utvalget meddelte at rapporten vil bli offentliggjort i de kommende ukene, og at alle resultater vil være tilgjengelige for offentligheten.")
 
   test("Latin-script languages identified by trigram profiles") {
     samples.foreach { case (lang, text) =>
@@ -37,13 +39,23 @@ class LangIdSpec extends AnyFunSuite {
   }
 
   test("margin gate abstains on unprofiled Latin-script languages") {
-    // da/ro/fi are OUTSIDE the 12 profiles: they score moderately against
+    // ro/fi are OUTSIDE the 14 profiles: they score moderately against
     // several near-neighbor profiles at once, so the runner-up margin gate
     // abstains instead of confidently mislabeling (ADVICE r3) — the
     // stopword fallback then gets the final say in languageClassifier
-    assert(LangId.detect("Udvalget meddelte, at rapporten vil blive offentliggjort i de kommende uger, og at alle resultater vil være tilgængelige for offentligheden.") == null)
     assert(LangId.detect("Comitetul a declarat că raportul va fi publicat în săptămânile următoare și că toate rezultatele vor fi disponibile publicului.") == null)
     assert(LangId.detect("Komitea ilmoitti, että raportti julkaistaan tulevina viikkoina ja että kaikki tulokset ovat yleisön saatavilla.") == null)
+  }
+
+  test("da/nb dialect pair resolved by the disjoint-trigram tie-break") {
+    // the shared function-word mass makes the margin unreachable for this
+    // pair (and can rank the wrong member first); the contrastive second
+    // pass decides on the orthographic discriminators (af/av, blev/ble,
+    // op/opp, efter/etter, ud/ut, uger/uker)
+    assert(LangId.detect("Han sagde, at han ikke kunne komme til byen i dag, fordi vejret var blevet meget værre op ad dagen, og at de andre også ville blive hjemme.") == "da")
+    assert(LangId.detect("Han sa at han ikke kunne komme til byen i dag fordi været hadde blitt mye verre utover dagen, og at de andre også ville bli hjemme.") == "nb")
+    assert(LangId.detect("Regeringen har besluttet at afsætte flere penge til de mindre skoler ude på landet, så børnene ikke skal rejse så langt hver dag.") == "da")
+    assert(LangId.detect("Regjeringen har besluttet å sette av mer penger til de mindre skolene ute på landet, slik at barna ikke skal reise så langt hver dag.") == "nb")
   }
 
   test("abstains on empty / numeric input, falls back in languageClassifier") {
