@@ -51,6 +51,41 @@ class BenchSpec extends AnyFunSuite {
     assert(!Bench.medianCorroborated(Seq(0.9), 0.10))
     assert(!Bench.medianCorroborated(Nil, 0.10))
   }
+
+  test("summarize: globally-descheduled level cannot self-certify quiet (ADVICE r4)") {
+    // internally consistent triple at 3x the global floor on 4 cores:
+    // allowance(4)=2.0, so the window is distrusted -> quiet=false
+    val uniform = Seq(leg(40, 210, cpus = 4), leg(41, 208, cpus = 4), leg(40, 211, cpus = 4))
+    val flagged = Bench.summarize(4, uniform, children = 1, globalRefUs = 70.0)
+    assert(!flagged.quiet && !flagged.globalOk)
+    // same legs with a matching global floor pass
+    val ok = Bench.summarize(4, uniform, children = 1, globalRefUs = 180.0)
+    assert(ok.quiet && ok.globalOk)
+    // 32-core legs at ~2.2x the floor are legitimate bandwidth inflation
+    // (allowance 3.5) — must NOT be flagged
+    val inflated = Seq(leg(300, 155, cpus = 32), leg(305, 152, cpus = 32), leg(298, 154, cpus = 32))
+    assert(Bench.summarize(32, inflated, children = 1, globalRefUs = 70.0).quiet)
+    // no global reference (0) degrades to the per-level verdict
+    assert(Bench.summarize(4, uniform, children = 1, globalRefUs = 0.0).quiet)
+  }
+
+  test("round persistence: appended rounds reload only under the same code/input key") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-rounds")
+    val path = dir.resolve("rounds.jsonl").toString
+    val r1 = Bench.Round(23313.9, 65477.9, 80.9, 96.0, ok = true)
+    val r2 = Bench.Round(22000.0, 60000.0, 82.0, 140.0, ok = false)
+    Bench.appendRoundForTest(path, "tag-a", "/sf", 10, r1)
+    Bench.appendRoundForTest(path, "tag-a", "/sf", 10, r2)
+    Bench.appendRoundForTest(path, "tag-b", "/sf", 10, r1) // other code version
+    Bench.appendRoundForTest(path, "tag-a", "/sf", 20, r1) // other factor
+    val got = Bench.loadPriorRoundsForTest(path, "tag-a", "/sf", 10)
+    assert(got.length == 2)
+    assert(got.forall(_.prior))
+    assert(got.head.ok && !got(1).ok)
+    assert(math.abs(got.head.ratio - r1.ratio) < 1e-4)
+    // unknown tag loads nothing (uncommitted/unidentifiable code)
+    assert(Bench.loadPriorRoundsForTest(path, "unknown", "/sf", 10).isEmpty)
+  }
 }
 
 /** Mid-run local-finish correctness: the driver union-find must compose
