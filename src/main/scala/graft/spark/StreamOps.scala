@@ -116,7 +116,14 @@ object StreamOps {
               out += SessionOut(user, cur.n, cur.sum.toDouble, cur.startS, cur.endS)
             state.remove()
           } else {
-            // event-time order within the micro-batch
+            // event-time order within the micro-batch: Spark gives NO
+            // per-group order guarantee here, so the group must be
+            // materialized and sorted — peak memory is O(largest single-user
+            // micro-batch), NOT O(stream): state carries one SessionState
+            // per user regardless. A 10^5-event hot user in one batch is
+            // ~10 MB transient (adversarial test pins completion + exact
+            // output); bound the transient further with maxFilesPerTrigger /
+            // trigger interval at ingest if hot users exceed that.
             val sorted = rows.toSeq.sortBy(r => (r._3.getTime, r._2))
             sorted.foreach { case (_, _, ts, valueStr) =>
               val tsS = ts.getTime / 1000 // floor seconds, like cast("long")

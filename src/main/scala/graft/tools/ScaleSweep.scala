@@ -37,7 +37,18 @@ object ScaleSweep {
       t(s"dedup_minhash x$fx")(graft.spark.TextOps.dedupMinhash(d).count())
       t(s"dedup_exact   x$fx")(graft.spark.TextOps.dedupExact(d).count())
       t(s"simhash_fp    x$fx")(graft.spark.TextOps.simhashPairs(spark, d).count())
+      // banded-hamming near-dup with the production bandCap guard engaged
+      // (degenerate bands from clustered fingerprints are the quadratic
+      // risk here — the cap bounds any one band's contribution)
+      t(s"dedup_simhash x$fx")(
+        graft.spark.TextOps.dedupSimhash(spark, d, maxHamming = 3, bandCap = 200).count())
+      // full pipeline tail (r5 fixed shape): near-dup pairs -> connected
+      // components -> canonical-per-cluster counts over a persisted input
+      t(s"pipeline_clusters x$fx")(
+        graft.spark.TextOps.dedupClusters(d)
+          .groupBy(col("cluster_id")).agg(count(lit(1))).count())
       d.unpersist()
+      graft.spark.TextOps.releaseCaches()
     }
     spark.stop()
   }

@@ -753,6 +753,53 @@ class SparkSpec extends AnyFunSuite {
     graft.spark.TextOps.releaseCaches()
   }
 
+  test("streaming sessions: 10^5-event hot user in one micro-batch completes exactly") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft-hotuser").toString
+    // one hot user with 100k events in a single batch (unsorted arrival
+    // order — ts descending via reversed event ids), sessions split every
+    // 10k events by a > gap jump; plus a normal user as a control
+    val hot = spark.range(100000).select(
+      lit(7L).as("user_id"),
+      col("id").as("event_id"),
+      timestamp_seconds(lit(1700000000L) +
+        (col("id") % 10000) * 2 + floor(col("id") / 10000).cast("long") * 100000).as("ts"),
+      lit("click").as("event_type"),
+      lit("1.50").as("value"))
+    val normal = spark.range(5).select(
+      lit(8L).as("user_id"), (col("id") + 200000).as("event_id"),
+      timestamp_seconds(lit(1700000000L) + col("id") * 10).as("ts"),
+      lit("view").as("event_type"), lit("2.00").as("value"))
+    val events = hot.unionAll(normal).orderBy(col("event_id").desc) // adversarial order
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = graft.spark.StreamOps.streamingSessions(stream)
+      .writeStream.format("memory").queryName("hot_sessions")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel far-future events advance the watermark so timeouts flush
+      (1 to 2).foreach { i =>
+        events.orderBy(col("ts").desc).limit(1)
+          .withColumn("user_id", lit(-1L))
+          .withColumn("ts", col("ts") + expr(s"INTERVAL ${30 * i} DAYS"))
+          .write.mode("append").parquet(s"$dir/in")
+        q.processAllAvailable()
+      }
+      val got = spark.sql("SELECT user_id, n_events, value_sum, start_s, end_s " +
+          "FROM hot_sessions WHERE user_id >= 0")
+        .collect().map(_.toSeq).toSet
+      val batch = graft.spark.StreamOps.eventSessions(
+          spark.read.parquet(s"$dir/in").filter(col("user_id") >= 0))
+        .select(col("user_id"), col("n_events"), col("value_sum"), col("start_s"), col("end_s"))
+        .collect().map(_.toSeq).toSet
+      assert(got == batch, s"streamed=${got.size} batch=${batch.size}")
+      // shape sanity: 10 hot sessions of 10k events each + 1 control session
+      assert(got.count(_.head == 7L) == 10)
+      assert(got.filter(_.head == 7L).forall(_(1) == 10000L))
+    } finally q.stop()
+  }
+
   test("multimodal: features are pixel-space — decoded-channel stats, closed-form pix sums") {
     import graft.spark.MultimodalOps
     val feats = MultimodalOps.extractFeatures(MultimodalOps.mediaTable(spark, sf))
