@@ -249,8 +249,11 @@ object Bench {
     }
   }
 
-  /** Identity of the code under measurement for round persistence: git HEAD
-    * (+ "-dirty" when the tree differs), "unknown" disables reuse. */
+  /** Identity of the code under measurement for round persistence: git HEAD,
+    * + "-dirty" when SOURCE paths differ from it ("unknown" disables reuse).
+    * Dirtiness is scoped to src/ + the build — the bench's own artifacts
+    * (BENCH*.json, rounds file) land in the repo root and must not flip the
+    * tag between a validation run and the driver's run of identical code. */
   private def codeTag(): String =
     try {
       def git(args: String*): String = {
@@ -262,7 +265,8 @@ object Bench {
       }
       val head = git("rev-parse", "HEAD")
       if (!head.matches("[0-9a-f]{40}")) "unknown"
-      else if (git("status", "--porcelain").nonEmpty) head + "-dirty"
+      else if (git("status", "--porcelain", "--", "src", "build.sbt", "project").nonEmpty)
+        head + "-dirty"
       else head
     } catch { case _: Throwable => "unknown" }
 
