@@ -249,11 +249,13 @@ object Bench {
     }
   }
 
-  /** Identity of the code under measurement for round persistence: git HEAD,
-    * + "-dirty" when SOURCE paths differ from it ("unknown" disables reuse).
-    * Dirtiness is scoped to src/ + the build — the bench's own artifacts
-    * (BENCH*.json, rounds file) land in the repo root and must not flip the
-    * tag between a validation run and the driver's run of identical code. */
+  /** Identity of the code under measurement for round persistence: the git
+    * TREE hash of src/ plus the build file's blob hash, + "-dirty" when
+    * those paths differ from HEAD ("unknown" disables reuse). Deliberately
+    * NOT the commit hash: the bench's own artifacts (BENCH*.json, the
+    * rounds file) get committed between a validation run and the driver's
+    * run of identical code, and an artifact-only commit must not orphan
+    * the accumulated rounds. */
   private def codeTag(): String =
     try {
       def git(args: String*): String = {
@@ -263,11 +265,15 @@ object Bench {
         p.waitFor()
         out
       }
-      val head = git("rev-parse", "HEAD")
-      if (!head.matches("[0-9a-f]{40}")) "unknown"
-      else if (git("status", "--porcelain", "--", "src", "build.sbt", "project").nonEmpty)
-        head + "-dirty"
-      else head
+      val srcTree = git("rev-parse", "HEAD:src")
+      val build = git("rev-parse", "HEAD:build.sbt")
+      if (!srcTree.matches("[0-9a-f]{40}") || !build.matches("[0-9a-f]{40}")) "unknown"
+      else {
+        val base = srcTree.take(20) + build.take(20)
+        if (git("status", "--porcelain", "--", "src", "build.sbt", "project").nonEmpty)
+          base + "-dirty"
+        else base
+      }
     } catch { case _: Throwable => "unknown" }
 
   private val RoundLine =
