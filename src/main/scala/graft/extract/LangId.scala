@@ -15,7 +15,8 @@ import scala.collection.mutable
   *    init from frequency-ordered function-word lists (public linguistic
   *    knowledge), Zipf-weighted by list rank. Function words dominate any
   *    running text, so their trigram mass (word boundaries included)
-  *    separates the 12 Latin profiles well.
+  *    separates the 14 Latin profiles well (the da/nb dialect pair via a
+  *    contrastive disjoint-trigram tie-break).
   * Deterministic, dependency-free, ~3 kB of embedded data. */
 object LangId {
 
@@ -124,23 +125,7 @@ object LangId {
     if (arabic * 2 > letters) return "ar"
     if (hebrew * 2 > letters) return "he"
     // --- Latin script: trigram cosine vs the profiles
-    val counts = mutable.HashMap.empty[String, Double]
-    val sb = new java.lang.StringBuilder(n + 2)
-    sb.append(' ')
-    i = 0
-    while (i < n) {
-      val c = text.charAt(i)
-      if (Character.isLetter(c)) sb.append(Character.toLowerCase(c))
-      else if (sb.charAt(sb.length() - 1) != ' ') sb.append(' ')
-      i += 1
-    }
-    sb.append(' ')
-    var j = 0
-    while (j + 3 <= sb.length()) {
-      val t = sb.substring(j, j + 3)
-      if (t != "   ") counts(t) = counts.getOrElse(t, 0.0) + 1.0
-      j += 1
-    }
+    val counts = trigramCounts(text)
     if (counts.isEmpty) return null
     val inNorm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
     val scored = Profiles.map { case (lang, prof) =>
@@ -203,14 +188,15 @@ object LangId {
     * at this granularity. */
   def supportedLatin: Seq[String] = WordLists.map(_._1)
 
-  /** Per-profile cosine scores, descending — diagnostics for profile tuning
-    * (tools/LangProbe); same pipeline as detect minus the gates. */
-  def profileScores(text: String): Seq[(String, Double)] = {
+  /** Character-trigram counts of the first 4k chars (letters lowercased,
+    * non-letters collapsed to single boundaries) — shared by detect and
+    * profileScores. */
+  private def trigramCounts(text: String): mutable.HashMap[String, Double] = {
     val counts = mutable.HashMap.empty[String, Double]
-    val sb = new java.lang.StringBuilder(text.length + 2)
+    val n = math.min(text.length, 4096)
+    val sb = new java.lang.StringBuilder(n + 2)
     sb.append(' ')
     var i = 0
-    val n = math.min(text.length, 4096)
     while (i < n) {
       val c = text.charAt(i)
       if (Character.isLetter(c)) sb.append(Character.toLowerCase(c))
@@ -224,6 +210,13 @@ object LangId {
       if (t != "   ") counts(t) = counts.getOrElse(t, 0.0) + 1.0
       j += 1
     }
+    counts
+  }
+
+  /** Per-profile cosine scores, descending — diagnostics for profile tuning
+    * (tools/LangProbe); same pipeline as detect minus the gates. */
+  def profileScores(text: String): Seq[(String, Double)] = {
+    val counts = trigramCounts(text)
     if (counts.isEmpty) return Nil
     val inNorm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
     Profiles.map { case (lang, prof) =>
