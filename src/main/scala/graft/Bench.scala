@@ -343,9 +343,13 @@ object Bench {
     // bounds everything after the query bench starts.
     val t0s = System.nanoTime()
     val pairBudgetNs =
-      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_SEC", "900").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_PAIR_BUDGET_SEC", "700").toLong * 1000000000L
+    // default sized so total bench wall stays in the ~22 min envelope the
+    // r4 driver window demonstrably tolerated — a longer run that the
+    // driver kills mid-flight leaves NO headline at all, which is worse
+    // than fewer rounds (they persist and accumulate across invocations)
     val deadline = t0s +
-      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "1700").toLong * 1000000000L
+      sys.env.getOrElse("SPARK_GRAFT_SCALING_BUDGET_SEC", "1250").toLong * 1000000000L
     val maxRounds = sys.env.getOrElse("SPARK_GRAFT_PAIR_ROUNDS_MAX", "8").toInt
     val usRatioBound = sys.env.getOrElse("SPARK_GRAFT_US_RATIO_BOUND", "1.22").toDouble
 
@@ -367,6 +371,7 @@ object Bench {
     def freshAccepted: Int = rounds.drop(nPrior).count(_.ok)
     def ratiosAgree: Boolean =
       medianCorroborated(acceptedRatios, SpreadBound) && freshAccepted >= 1
+    var maxRoundNs = 0L // worst observed round duration (deadline look-ahead)
     def pairRound(): Unit = {
       val t0 = System.nanoTime()
       // K+1 timed runs per primary child: the quiet triple may be any 3
@@ -389,10 +394,16 @@ object Bench {
       }
       rounds += r
       appendRound(roundsFile, tag, sfDir, factor, r)
-      pairSpent += System.nanoTime() - t0
+      val dur = System.nanoTime() - t0
+      pairSpent += dur
+      if (dur > maxRoundNs) maxRoundNs = dur
     }
+    // look-ahead: don't START a round that would blow past the deadline —
+    // a 2-core round is minutes long, so "now < deadline" alone can overrun
+    // the driver's patience by a full round
     def wantMoreRounds: Boolean =
-      !ratiosAgree && freshRounds < maxRounds && System.nanoTime() < deadline
+      !ratiosAgree && freshRounds < maxRounds &&
+        System.nanoTime() + maxRoundNs < deadline
     def pairBudgetLeft: Boolean = pairSpent < pairBudgetNs
 
     // ---- INTERLEAVED schedule: rounds spread across the whole wall-clock.
