@@ -16,6 +16,23 @@ import org.apache.spark.sql.functions._
   * oracle can verify span equality end-to-end (FIXTURES.md §3). */
 object DocsTables {
 
+  /** Scan-parallelism guard (optimization guide §2.5, "input skew: one huge
+    * unsplittable file … otherwise repartition immediately after the read"):
+    * a small single-file parquet yields ONE scan split, so expensive per-row
+    * work downstream (extraction kernel, media codecs, shingle hashing,
+    * vec_dot brute force) inherits parallelism 1-2 while the rest of the
+    * executor idles — measured r06: media_features ran its entire
+    * encode+decode pass in a single task (3.0 s exec, 1 task). Repartition
+    * round-robin to the session's default parallelism ONLY when the scan
+    * produces fewer splits; the check is driver-side plan inspection (no
+    * job). NOT a local-mode constant: the target tracks the cluster
+    * (`defaultParallelism`), and at production scale any real table yields
+    * thousands of splits, making this a no-op with zero added shuffle. */
+  private[graft] def fanOut(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= p) df else df.repartition(p)
+  }
+
   def documents(spark: SparkSession, sfDir: String): DataFrame =
     spark.read.parquet(s"$sfDir/documents.parquet")
 
@@ -51,7 +68,9 @@ object DocsTables {
     * media spans interleave for doc_id % 11 == 0 to exercise passthrough). */
   def docsTable(spark: SparkSession, sfDir: String): Dataset[DocRow] = {
     import spark.implicits._
-    val d = documents(spark, sfDir)
+    // fanOut: the extraction kernel is the most expensive per-row transform
+    // in the engine; a 1-split scan would run it single-task (guide §2.5)
+    val d = fanOut(documents(spark, sfDir))
     val html = pageHtml(col("doc_id"), col("text"), col("lang"), col("source"))
     val htmlSpan = struct(lit("html").as("kind"), html.as("text"),
       lit(null).cast("string").as("media_ref"), lit(0).as("offset"))

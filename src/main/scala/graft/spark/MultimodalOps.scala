@@ -148,7 +148,10 @@ object MultimodalOps {
     * real JDK codec). kind cycles image/audio/video. */
   def mediaTable(spark: SparkSession, sfDir: String): Dataset[MediaRow] = {
     import spark.implicits._
-    DocsTables.documents(spark, sfDir)
+    // fanOut: the codec encode (and every decode downstream) is the heavy
+    // per-row work of the multimodal path; a 1-split scan ran the whole
+    // pass in a single task (guide §2.5 — measured 3.0 s exec, 1 task, r06)
+    DocsTables.fanOut(DocsTables.documents(spark, sfDir))
       .select(col("doc_id"),
         concat(lit("blob://"), col("doc_id")).as("media_ref"),
         element_at(array(lit("image"), lit("audio"), lit("video")),
@@ -375,19 +378,67 @@ object MultimodalOps {
     import media.sparkSession.implicits._
     media.mapPartitions { iter =>
       iter.map { m =>
-        val (w, h, nf) = m.media_kind match {
+        // ONE decode per blob: metadata (dims / frame count / sample rate)
+        // and pixel features both come from the same decoded object — the
+        // previous shape ran the full JDK codec twice per row (metadata
+        // pass + pixelFeatures), doubling codec cost (ADVICE r5)
+        m.media_kind match {
           case "image" =>
-            val (iw, ih) = decodeImage(m.blob).getOrElse((-2, -2))
-            (iw, ih, 1)
-          case "video" => decodeGif(m.blob).getOrElse((-2, -2, -2))
-          case _ => (-1, -1, 1)
+            val img = try javax.imageio.ImageIO.read(
+                new java.io.ByteArrayInputStream(m.blob))
+              catch { case _: java.io.IOException => null }
+            if (img == null)
+              MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, -2, -2, 1,
+                -1, -1L, -2L, new Array[Float](8).toSeq)
+            else {
+              val (feat, pixSum) = imageFeature(Seq(img))
+              MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong,
+                img.getWidth, img.getHeight, 1, -1, -1L, pixSum, feat.toSeq)
+            }
+          case "video" =>
+            decodeFrames(m.blob) match {
+              case Nil =>
+                MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, -2, -2, -2,
+                  -1, -1L, -2L, new Array[Float](8).toSeq)
+              case frames =>
+                val (feat, pixSum) = imageFeature(frames)
+                MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong,
+                  frames.head.getWidth, frames.head.getHeight, frames.length,
+                  -1, -1L, pixSum, feat.toSeq)
+            }
+          case "audio" =>
+            decodePcm(m.blob) match {
+              case None =>
+                MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, -1, -1, 1,
+                  -2, -2L, -2L, new Array[Float](8).toSeq)
+              case Some((rate, pcm)) =>
+                var sum = 0L; var sumAbs = 0L; var sumSq = 0.0
+                var mn = Int.MaxValue; var mx = Int.MinValue; var zc = 0
+                var i = 0
+                while (i < pcm.length) {
+                  val v = pcm(i)
+                  sum += v; sumAbs += math.abs(v); sumSq += v.toDouble * v
+                  if (v < mn) mn = v
+                  if (v > mx) mx = v
+                  if (i > 0 && (pcm(i - 1) < 0) != (v < 0)) zc += 1
+                  i += 1
+                }
+                val n = math.max(1, pcm.length)
+                val feat = Array[Float](
+                  (sum.toDouble / n / 32768.0).toFloat,
+                  (sumAbs.toDouble / n / 32768.0).toFloat,
+                  (math.sqrt(sumSq / n) / 32768.0).toFloat,
+                  zc.toFloat / n,
+                  mn / 32768.0f, mx / 32768.0f,
+                  rate / 48000.0f,
+                  (pcm.length / math.max(1.0, rate.toDouble)).toFloat)
+                MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, -1, -1, 1,
+                  rate, pcm.length.toLong, sum, feat.toSeq)
+            }
+          case _ =>
+            MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, -1, -1, 1,
+              -1, -1L, -2L, new Array[Float](8).toSeq)
         }
-        val (sr, ns) =
-          if (m.media_kind == "audio") decodeAudio(m.blob).getOrElse((-2, -2L))
-          else (-1, -1L)
-        val (feat, pixSum) = pixelFeatures(m)
-        MediaFeatures(m.doc_id, m.media_kind, m.blob.length.toLong, w, h, nf,
-          sr, ns, pixSum, feat.toSeq)
       }
     }
   }

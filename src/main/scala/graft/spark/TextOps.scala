@@ -115,7 +115,11 @@ object TextOps {
 
   /** Near-dup corpus shared with the DuckDB oracle: the documents plus a
     * mutated copy (id+1000000, last 3 words dropped) — deterministic. */
-  def nearDupCorpus(docs: DataFrame): DataFrame = {
+  def nearDupCorpus(docs0: DataFrame): DataFrame = {
+    // fanOut BEFORE the union: both branches then read the repartitioned
+    // base (guide §2.5) so shingle hashing / fingerprinting downstream runs
+    // at session parallelism instead of the 1-2 tasks a small scan yields
+    val docs = DocsTables.fanOut(docs0)
     val w = words(col("text"))
     val mutated = docs.select(
       (col("doc_id") + 1000000L).as("doc_id"),
@@ -211,9 +215,13 @@ object TextOps {
   /** Previous pipeline-input cache (cachePipelineInput) — same lifecycle. */
   @volatile private var lastInput: DataFrame = null
 
+  /** Previous ngram-join sorted-shingle corpus — same lifecycle. */
+  @volatile private var lastNgram: DataFrame = null
+
   def releaseCaches(): Unit = synchronized {
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
     if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
+    if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null }
   }
 
   /** Persist an EXPENSIVE dedup-pipeline input (e.g. the extraction kernel's
@@ -251,6 +259,13 @@ object TextOps {
         call_function("minhash128", col("sh")).as("mh"))
       .persist()
     synchronized { if (lastSigs != null) lastSigs.unpersist(false); lastSigs = sigs }
+    // EAGER materialization: the band subtree and both verify-side reads of
+    // the cache otherwise race on first execution — independent stages of
+    // one job each compute the not-yet-cached partitions, running the
+    // shingle+minhash scan up to 3x concurrently (measured r06: two ~13 s
+    // exec stages for one 13 s computation). One count() populates the
+    // cache once; every downstream subtree then reads blocks.
+    sigs.count()
     val allBands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
@@ -271,9 +286,14 @@ object TextOps {
     val withSets = candidates
       .join(sigs.select(col("doc_id").as("id_a"), col("shset").as("sh_a")), Seq("id_a"))
       .join(sigs.select(col("doc_id").as("id_b"), col("shset").as("sh_b")), Seq("id_b"))
+    // |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct shingle sets, so the
+    // array_union hash-set build per pair is pure waste — same integers,
+    // same double division, same round, half the per-pair work (guide §1.2
+    // step 2: per-task cost after the plan shape is right)
     withSets.select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -345,7 +365,13 @@ object TextOps {
         df => df.checkpoint(eager = true)
       case None => df => df.localCheckpoint(true)
     }
-    var edges = ckpt(pairs.unionAll(pairs.select(col("b").as("a"), col("a").as("b"))))
+    // checkpoint the pair DAG ONCE before mirroring: unionAll(p, p.swap)
+    // over the raw DataFrame executes the (expensive) pair-generation
+    // subtree twice — measured r06: the whole MinHash candidate+verify plan
+    // ran twice inside the first CC job. The union of the materialized
+    // checkpoint is then a cheap double read of local blocks.
+    val p0 = ckpt(pairs)
+    var edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
     var nEdges = edges.count()
     var labels = ckpt(edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")))
@@ -429,8 +455,13 @@ object TextOps {
       Console.err.println(s"[dedupClusters] NOT CONVERGED after ${stats.rounds} " +
         s"rounds (${stats.residualEdges} residual edges) — returning partial " +
         "labels (a refinement of the true components)")
-    // label the full corpus: members take their component min, singletons self
-    nearDupCorpus(docs).select(col("doc_id").cast("long").as("doc_id"))
+    // label the full corpus: members take their component min, singletons
+    // self. The id set of nearDupCorpus is constructible WITHOUT the mutated
+    // text (ids are docs ∪ docs+1e6) — the previous nearDupCorpus call paid
+    // the fanOut exchange + text synthesis only to have every column but
+    // doc_id pruned away.
+    val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
+    ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
@@ -478,13 +509,21 @@ object TextOps {
     * a dedup pipeline prefers to drop. Keep 0 for the exact oracle path. */
   def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8,
       tokenCap: Int = 0): DataFrame = {
+    // persisted + eagerly materialized like dedupMinhash's sigs: the corpus
+    // feeds FOUR subtrees (both token-join sides, both verify sides) and was
+    // recomputed by each — the single most expensive scan of this query ran
+    // up to 4x per execution (measured r06)
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
+      .persist()
+    synchronized { if (lastNgram != null) lastNgram.unpersist(false); lastNgram = corpus }
+    corpus.count()
     val prefixLen = (size(col("sh")) -
       ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
     val allTokens = corpus
-      .select(col("doc_id"), explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
+      .select(col("doc_id"), size(col("sh")).as("sz"),
+        explode(slice(col("sh"), lit(1), prefixLen)).as("tok"))
     val tokens =
       if (tokenCap <= 0) allTokens
       else {
@@ -493,15 +532,26 @@ object TextOps {
           .select(col("tok"))
         allTokens.join(broadcast(hot), Seq("tok"), "left_anti")
       }
+    // LENGTH FILTER at the candidate join (Bayardo/Xiao set-similarity-join
+    // staple): J(A,B) >= t forces t*|A| <= |B| and t*|B| <= |A| (the
+    // intersection is bounded by the smaller set, the union bounded below by
+    // the larger), so size-mismatched pairs can be dropped INSIDE the join
+    // before the candidate explosion — lossless, the exact-jaccard verify
+    // output is unchanged. Kills the freq² pair blow-up of corpus-wide
+    // boilerplate prefix tokens shared across differently-sized docs.
     val cands = tokens.as("a").join(tokens.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.sz") >= col("a.sz") * lit(threshold) &&
+          col("a.sz") >= col("b.sz") * lit(threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
+    // union size arithmetically (|A|+|B|-|I|) — see dedupMinhash's verify note
     cands
       .join(corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"), 4).as("jaccard"))
+          (size(col("sh_a")) + size(col("sh_b")) -
+            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 
@@ -643,7 +693,8 @@ object TextOps {
   def embeddingNearDup(embeddings: DataFrame, threshold: Double = 0.5,
       cap: Int = 2000): DataFrame = {
     SqlSurface.registerVecDot(embeddings.sparkSession)
-    val base = embeddings.select(col("vec_id"), unitVec(col("embedding")).as("u"))
+    val base = DocsTables.fanOut(embeddings)
+      .select(col("vec_id"), unitVec(col("embedding")).as("u"))
       .filter(col("vec_id") < cap)
     base.select(col("vec_id").as("a_id"), col("u").as("a_u"))
       .join(base.select(col("vec_id").as("b_id"), col("u").as("b_u")),
@@ -663,7 +714,8 @@ object TextOps {
     SqlSurface.registerVecDot(embeddings.sparkSession)
     val rnd = new java.util.Random(42) // fixed seed: deterministic plan
     val hyper = Array.fill(tables, k, dim)(rnd.nextGaussian())
-    val base = embeddings.select(col("vec_id"), col("embedding"))
+    // fanOut: tables*k literal-hyperplane dots per row run scan-side
+    val base = DocsTables.fanOut(embeddings).select(col("vec_id"), col("embedding"))
     val emb = col("embedding")
     // hyperplane dots through the NATIVE vec_dot (array<float> x literal
     // array<double>): tables x k of them per row — the interpreted
@@ -767,6 +819,11 @@ object TextOps {
   def fitIvfCentroids(embeddings: DataFrame, nCells: Int = 16,
       iters: Int = 3): Array[Array[Double]] = {
     SqlSurface.registerVecDot(embeddings.sparkSession)
+    // NOTE on determinism: avg() sums floats in partition order, so the
+    // input layout can move centroids at the last bit; the published
+    // ivf_recall contract absorbs this by design (recall floor 0.7 vs
+    // probed 0.88-0.96) and nProbe=nCells correctness is centroid-
+    // independent (every cell probed).
     val base = embeddings.select(col("vec_id"), col("embedding"))
     def normalize(a: Array[Double]): Array[Double] = {
       val n = math.sqrt(a.iterator.map(x => x * x).sum)
