@@ -97,6 +97,91 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** Intersection size of two SORTED DISTINCT long arrays as a native
+  * codegen'd merge walk: `sorted_intersect_count(array<long>, array<long>)
+  * -> int`. Equals `size(array_intersect(a, b))` for sorted distinct inputs
+  * but allocation-free — array_intersect builds a hash set AND materializes
+  * the intersection array per CALL, which dominated the candidate-verify
+  * stage of the set-similarity joins (one call per candidate pair).
+  * Null ELEMENTS are skipped (array_sort places them last, so the merge
+  * walk simply terminates); the dedup callers' shingle arrays are
+  * null-free by construction (xxhash64 of non-null concat). */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  private def okInput(e: Expression): Boolean = e.dataType match {
+    case ArrayType(LongType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (okInput(left) && okInput(right)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"sorted_intersect_count expects array<long> inputs, got ${left.dataType} / ${right.dataType}")
+
+  private def mayContainNull(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val (n1, n2) = (x.numElements(), y.numElements())
+    val (cl, cr) = (mayContainNull(left), mayContainNull(right))
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < n1 && j < n2 && !(cl && x.isNullAt(i)) && !(cr && y.isNullAt(j))) {
+      val xv = x.getLong(i)
+      val yv = y.getLong(j)
+      if (xv < yv) i += 1
+      else if (xv > yv) j += 1
+      else { c += 1; i += 1; j += 1 }
+    }
+    c
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val c = ctx.freshName("c")
+      val n1 = ctx.freshName("n1")
+      val n2 = ctx.freshName("n2")
+      val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv")
+      val nullBreak = Seq(
+        if (mayContainNull(left)) Some(s"$a.isNullAt($i)") else None,
+        if (mayContainNull(right)) Some(s"$b.isNullAt($j)") else None
+      ).flatten match {
+        case Nil => ""
+        case cs => s"if (${cs.mkString(" || ")}) break;"
+      }
+      s"""
+         |int $n1 = $a.numElements();
+         |int $n2 = $b.numElements();
+         |int $i = 0; int $j = 0; int $c = 0;
+         |while ($i < $n1 && $j < $n2) {
+         |  $nullBreak
+         |  long $xv = $a.getLong($i);
+         |  long $yv = $b.getLong($j);
+         |  if ($xv < $yv) { $i++; }
+         |  else if ($xv > $yv) { $j++; }
+         |  else { $c++; $i++; $j++; }
+         |}
+         |${ev.value} = $c;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
 /** 128-permutation MinHash signature of an int64 shingle set, computed in
   * ONE map-side pass: `minhash128(array<long>) -> array<long>`.
   *

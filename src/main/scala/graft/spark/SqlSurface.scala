@@ -52,6 +52,9 @@ object SqlSurface {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "minhash128", exprs => graft.functions.MinHash128(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
   }
 }

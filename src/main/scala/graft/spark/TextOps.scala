@@ -116,15 +116,24 @@ object TextOps {
   /** Near-dup corpus shared with the DuckDB oracle: the documents plus a
     * mutated copy (id+1000000, last 3 words dropped) — deterministic. */
   def nearDupCorpus(docs0: DataFrame): DataFrame = {
-    // fanOut BEFORE the union: both branches then read the repartitioned
-    // base (guide §2.5) so shingle hashing / fingerprinting downstream runs
-    // at session parallelism instead of the 1-2 tasks a small scan yields
+    // fanOut first (guide §2.5) so everything downstream runs at session
+    // parallelism instead of the 1-2 tasks a small scan yields
     val docs = DocsTables.fanOut(docs0)
     val w = words(col("text"))
-    val mutated = docs.select(
-      (col("doc_id") + 1000000L).as("doc_id"),
-      concat_ws(" ", slice(w, lit(1), size(w) - 3)).as("text"))
-    docs.select(col("doc_id"), col("text")).unionAll(mutated)
+    // ONE scan, no union: each doc explodes into its (original, mutated)
+    // pair. The unionAll form planned TWO separate exchanges — the
+    // optimizer pushes each branch's projection below the fanOut
+    // repartition, the branches stop being the same exchange (no reuse),
+    // and the mutated-text computation lands on the unparallelized scan
+    // side (measured r06: two 0.85 MB exchange maps, one a 952 ms
+    // single-task stage). A generator cannot be pushed through the
+    // repartition, so the explode keeps one scan, one exchange, and the
+    // mutation work post-shuffle. Row set identical.
+    docs.select(explode(array(
+        struct(col("doc_id").cast("long").as("doc_id"), col("text")),
+        struct((col("doc_id") + 1000000L).cast("long").as("doc_id"),
+          concat_ws(" ", slice(w, lit(1), size(w) - 3)).as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   val nearDupCorpusSql: String =
@@ -206,7 +215,7 @@ object TextOps {
     * collided in a dropped bucket is lost — acceptable recall trade at scale
     * (a j≥0.8 pair collides in ~13 of 32 bands in expectation); keep 0 for
     * the exact oracle path. */
-  /** Previous invocation's persisted signature table — released on the next
+  /** Previous invocation's persisted shingle corpus — released on the next
     * call (bench loops invoke dedupMinhash repeatedly; never unpersisting
     * leaked cached blocks across runs). Callers needing deterministic
     * release can call releaseCaches() after their action completes. */
@@ -244,28 +253,32 @@ object TextOps {
   def dedupMinhash(docs: DataFrame, threshold: Double = 0.8,
       bucketCap: Int = 0): DataFrame = {
     SqlSurface.registerVecDot(docs.sparkSession)
+    // ONE cached corpus of SORTED hashed shingle sets, eagerly materialized:
+    //  - the persist is a PROJECTION BARRIER: CollapseProject otherwise
+    //    inlines the interpreted higher-order hashedShingles tree both as
+    //    the verify column and as minhash128's fallback-evaluated child —
+    //    two full interpreted evaluations per row (measured r06);
+    //  - sorting once at the scan turns the per-pair verify into the native
+    //    allocation-free merge count (sorted_intersect_count); minhash128
+    //    takes per-permutation MINIMA, so it is order-independent and
+    //    bit-identical over the sorted set;
+    //  - the EAGER count() stops the band subtree and the two verify-side
+    //    cache reads racing on first execution — independent stages of one
+    //    job each computed the not-yet-cached partitions, running the
+    //    shingle scan up to 3x concurrently (measured r06).
+    // Signatures stay PURE MAP-SIDE work: minhash128 computes all 128
+    // permutation mins in one pass (bit-identical to the explode +
+    // 128×min(xxhash64(s,i)) + groupBy form, equivalence test-pinned) with
+    // NO shuffle — at 100 TB the old shape shipped |corpus shingles| rows ×
+    // 128 hash columns through an aggregation exchange.
     val corpus = nearDupCorpus(docs)
-      .select(col("doc_id"), hashedShingles(col("text")).as("sh"))
+      .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
-    // Signatures are PURE MAP-SIDE work: `minhash128` (a native expression)
-    // computes all 128 permutation mins in one pass over the hashed shingle
-    // set — bit-identical to the explode + 128×min(xxhash64(s,i)) + groupBy
-    // form (equivalence is test-pinned) but with NO shuffle: at 100 TB the
-    // old shape shipped |corpus shingles| rows × 128 hash columns through an
-    // aggregation exchange. Persisted once; bands, both candidate sides and
-    // both verify sides all read this one small table.
-    val sigs = corpus
-      .select(col("doc_id"), col("sh").as("shset"),
-        call_function("minhash128", col("sh")).as("mh"))
       .persist()
-    synchronized { if (lastSigs != null) lastSigs.unpersist(false); lastSigs = sigs }
-    // EAGER materialization: the band subtree and both verify-side reads of
-    // the cache otherwise race on first execution — independent stages of
-    // one job each compute the not-yet-cached partitions, running the
-    // shingle+minhash scan up to 3x concurrently (measured r06: two ~13 s
-    // exec stages for one 13 s computation). One count() populates the
-    // cache once; every downstream subtree then reads blocks.
-    sigs.count()
+    synchronized { if (lastSigs != null) lastSigs.unpersist(false); lastSigs = corpus }
+    corpus.count()
+    val sigs = corpus.select(col("doc_id"),
+      call_function("minhash128", col("sh")).as("mh"))
     val allBands = sigs.select(col("doc_id"),
         posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
           b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
@@ -282,18 +295,18 @@ object TextOps {
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .distinct()
-    // verify joins ship long arrays (8 B/shingle) only for candidate rows
+    // verify joins ship long arrays (8 B/shingle) only for candidate rows.
+    // jaccard = |I| / (|A| + |B| - |I|): the union size falls out of the
+    // set sizes, and |I| is the native sorted-merge count — the previous
+    // array_intersect + array_union built two hash sets and one result
+    // array PER CANDIDATE PAIR (same integers, same double, same round).
     val withSets = candidates
-      .join(sigs.select(col("doc_id").as("id_a"), col("shset").as("sh_a")), Seq("id_a"))
-      .join(sigs.select(col("doc_id").as("id_b"), col("shset").as("sh_b")), Seq("id_b"))
-    // |A ∪ B| = |A| + |B| - |A ∩ B| for the distinct shingle sets, so the
-    // array_union hash-set build per pair is pure waste — same integers,
-    // same double division, same round, half the per-pair work (guide §1.2
-    // step 2: per-task cost after the plan shape is right)
+      .join(corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+    val inter = call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
     withSets.select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), 4).as("jaccard"))
+        round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+          .cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -372,6 +385,38 @@ object TextOps {
     // checkpoint is then a cheap double read of local blocks.
     val p0 = ckpt(pairs)
     var edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
+    // FAST PATH: when the WHOLE mirrored edge set already fits the local
+    // finish, one bounded limit-collect (stops tasks early; ≤ ~1.6 MB at
+    // the default threshold, scale-safe at any corpus size) replaces the
+    // count job, the distributed identity-label init, and the
+    // broadcast-fix join — the union-find result IS the label table
+    // (edges are mirrored, so the a-side endpoint set covers every member
+    // node). Same labels as the distributed path: min-id-root union-find
+    // assigns each node its component minimum, which is the fixpoint the
+    // contraction loop converges to.
+    if (localFinishEdges > 0) {
+      val probe = edges.limit(localFinishEdges + 1).collect()
+      if (probe.length <= localFinishEdges) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { row =>
+          val (ra, rb) = (find(row.getLong(0)), find(row.getLong(1)))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-id root
+        }
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        val nodes = probe.iterator.map(_.getLong(0)).toSet
+        val labelsLocal = nodes.iterator.map(n => (n, find(n))).toSeq
+          .toDF("doc_id", "label")
+        return (labelsLocal, ClusterStats(converged = true, 0, 0))
+      }
+    }
     var nEdges = edges.count()
     var labels = ckpt(edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")))
@@ -509,6 +554,7 @@ object TextOps {
     * a dedup pipeline prefers to drop. Keep 0 for the exact oracle path. */
   def dedupNgramJaccard(docs: DataFrame, threshold: Double = 0.8,
       tokenCap: Int = 0): DataFrame = {
+    SqlSurface.registerVecDot(docs.sparkSession) // sorted_intersect_count
     // persisted + eagerly materialized like dedupMinhash's sigs: the corpus
     // feeds FOUR subtrees (both token-join sides, both verify sides) and was
     // recomputed by each — the single most expensive scan of this query ran
@@ -544,14 +590,14 @@ object TextOps {
           col("b.sz") >= col("a.sz") * lit(threshold) &&
           col("a.sz") >= col("b.sz") * lit(threshold))
       .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b")).distinct()
-    // union size arithmetically (|A|+|B|-|I|) — see dedupMinhash's verify note
+    // native merge-count verify — see dedupMinhash's verify note
+    val inter = call_function("sorted_intersect_count", col("sh_a"), col("sh_b"))
     cands
       .join(corpus.select(col("doc_id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(corpus.select(col("doc_id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(size(array_intersect(col("sh_a"), col("sh_b"))) /
-          (size(col("sh_a")) + size(col("sh_b")) -
-            size(array_intersect(col("sh_a"), col("sh_b")))).cast("double"), 4).as("jaccard"))
+        round(inter / (size(col("sh_a")) + size(col("sh_b")) - inter)
+          .cast("double"), 4).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -30,8 +30,10 @@ object BenchExtra {
       val si = sc.stageInfo
       val tm = si.taskMetrics
       val wall = (for (s <- si.submissionTime; c <- si.completionTime) yield c - s).getOrElse(-1L)
+      val graftSite = si.details.split('\n').find(l => l.contains("graft.") || l.contains("TextOps"))
+        .getOrElse("").trim.take(80)
       stages.synchronized {
-        stages += StageRec(si.stageId, si.name.takeWhile(_ != '\n').take(90), wall,
+        stages += StageRec(si.stageId, (si.name.takeWhile(_ != '\n') + " @ " + graftSite).take(130), wall,
           if (tm == null) -1 else tm.executorRunTime,
           if (tm == null) -1 else tm.shuffleReadMetrics.totalBytesRead / 1e6,
           if (tm == null) -1 else tm.shuffleWriteMetrics.bytesWritten / 1e6,
@@ -72,9 +74,14 @@ object BenchExtra {
         val last = i == runs
         if (last) { rec.reset(); rec.enabled = true }
         spark.sparkContext.setJobDescription(s"$name: timed run $i")
+        val cg = org.apache.spark.metrics.source.CodegenMetrics
+        val c0 = cg.METRIC_COMPILATION_TIME.getCount
         val t0 = System.nanoTime()
         val n = try fn(spark, sfDir).count() catch { case _: Throwable => -1L }
         val sec = (System.nanoTime() - t0) / 1e9
+        val dCompiles = cg.METRIC_COMPILATION_TIME.getCount - c0
+        val meanMs = cg.METRIC_COMPILATION_TIME.getSnapshot.getMean
+        print(f"  [codegen compiles=$dCompiles meanMs=$meanMs%.0f] ")
         if (last) {
           rec.enabled = false
           println(f"QX $name run$i rows=$n sec=$sec%.3f jobs=${rec.jobs}")
