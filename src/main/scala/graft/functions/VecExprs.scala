@@ -97,6 +97,61 @@ case class VecDot(left: Expression, right: Expression) extends BinaryExpression 
     copy(left = newLeft, right = newRight)
 }
 
+/** L2-normalize a numeric array: `vec_unit(array<float|double>) ->
+  * array<double>`, bit-identical to
+  * `transform(c, x -> cast(x as double) / sqrt(vec_dot(c, c)))` — same
+  * sequential double accumulation for the norm, same per-element double
+  * division — but with the norm computed ONCE per row: the lambda form
+  * embeds `sqrt(vec_dot(c, c))` in the element function, so the interpreted
+  * higher-order evaluation recomputed the full dot product for EVERY
+  * element (64x redundant work per row plus per-element closure overhead).
+  * Null-element semantics match the lambda form: any null element nulls the
+  * norm, which nulls every output element (length preserved). */
+case class VecUnit(child: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_unit"
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"vec_unit expects array<float|double>, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fl = isFloat
+    var s = 0.0
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) {
+      if (arr.isNullAt(i)) anyNull = true
+      else { val v = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i); s += v * v }
+      i += 1
+    }
+    if (anyNull) return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      new Array[Any](n))
+    val norm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) {
+      out(i) = (if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)) / norm
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VecUnit =
+    copy(child = newChild)
+}
+
 /** Intersection size of two SORTED DISTINCT long arrays as a native
   * codegen'd merge walk: `sorted_intersect_count(array<long>, array<long>)
   * -> int`. Equals `size(array_intersect(a, b))` for sorted distinct inputs
@@ -180,6 +235,158 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(newLeft: Expression,
       newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** All dot products of one vector against a literal plane MATRIX in a
+  * single pass: `vec_dots(array<float|double>, array<array<double>> lit) ->
+  * array<double>`, element p = vec_dot(child, planes[p]) bit-identically
+  * (same sequential double accumulation, same float->double casts, same
+  * min-length truncation; any null child element nulls every dot, matching
+  * N independent vec_dot calls).
+  *
+  * Why it exists: a projection with N separate `vec_dot(emb, lit-array)`
+  * expressions measured ~7 µs PER DOT at N=96 (r06 ProbeEmb — the
+  * generated projection is too large to JIT and each dot re-walks the row)
+  * versus ~60 ns for the fused loop here: the input vector is read once
+  * into a primitive array and all planes stream over it. */
+case class VecDots(child: Expression, planesLit: Expression)
+  extends BinaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def left: Expression = child
+  override def right: Expression = planesLit
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_dots"
+
+  override def checkInputDataTypes(): TypeCheckResult = (child.dataType, planesLit.dataType) match {
+    case (ArrayType(FloatType, _) | ArrayType(DoubleType, _), ArrayType(ArrayType(DoubleType, _), _))
+      if planesLit.foldable => TypeCheckResult.TypeCheckSuccess
+    case _ => TypeCheckResult.TypeCheckFailure(
+      s"vec_dots expects (array<float|double>, foldable array<array<double>>), got " +
+        s"${child.dataType} / ${planesLit.dataType}")
+  }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  /** The plane matrix, extracted from the foldable literal once per task. */
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val ad = planesLit.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements()) { p =>
+      ad.getArray(p).toDoubleArray()
+    }
+  }
+
+  override def nullSafeEval(input: Any, unused: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fl = isFloat
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](planes.length))
+      v(i) = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Double](planes.length)
+    var p = 0
+    while (p < planes.length) {
+      val pl = planes(p)
+      val m = math.min(n, pl.length)
+      var s = 0.0
+      var j = 0
+      while (j < m) { s += v(j) * pl(j); j += 1 }
+      out(p) = s
+      p += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(newLeft: Expression,
+      newRight: Expression): VecDots = copy(child = newLeft, planesLit = newRight)
+}
+
+/** Sign-random-projection bucket values for every hash table in one pass:
+  * `srp_buckets(array<float|double>, array<array<double>> lit, k lit) ->
+  * array<int>` of `planes.length / k` bucket values, where bucket t =
+  * sum over i < k of (dot(child, planes[t*k+i]) >= 0 ? 1 << i : 0).
+  * Bit-identical to the SQL formulation
+  * `sum_i cast(vec_dot(emb, plane) >= 0 as int) * (1 << i)` including
+  * Spark's NaN ordering (NaN >= 0 is TRUE) and null semantics (any null
+  * child element nulls every dot, hence every bucket). Exists for the same
+  * reason as vec_dots: 96 separate dot expressions in one projection ran
+  * two orders of magnitude slower than this fused loop (r06 ProbeEmb). */
+case class SrpBuckets(child: Expression, planesLit: Expression, kLit: Expression)
+  extends org.apache.spark.sql.catalyst.expressions.TernaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def first: Expression = child
+  override def second: Expression = planesLit
+  override def third: Expression = kLit
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = true)
+  override def prettyName: String = "srp_buckets"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (child.dataType, planesLit.dataType, kLit.dataType) match {
+      case (ArrayType(FloatType, _) | ArrayType(DoubleType, _),
+          ArrayType(ArrayType(DoubleType, _), _), IntegerType)
+        if planesLit.foldable && kLit.foldable => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"srp_buckets expects (array<float|double>, foldable array<array<double>>, int lit)")
+    }
+
+  private def isFloat: Boolean = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  @transient private lazy val planes: Array[Array[Double]] = {
+    val ad = planesLit.eval(null).asInstanceOf[ArrayData]
+    Array.tabulate(ad.numElements())(p => ad.getArray(p).toDoubleArray())
+  }
+  @transient private lazy val k: Int = kLit.eval(null).asInstanceOf[Int]
+
+  override def nullSafeEval(input: Any, u1: Any, u2: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val fl = isFloat
+    val tables = planes.length / k
+    val v = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i))
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+          new Array[Any](tables))
+      v(i) = if (fl) arr.getFloat(i).toDouble else arr.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0
+      var bi = 0
+      while (bi < k) {
+        val pl = planes(t * k + bi)
+        val m = math.min(n, pl.length)
+        var s = 0.0
+        var j = 0
+        while (j < m) { s += v(j) * pl(j); j += 1 }
+        // SQL ordering: NaN compares larger than any value, so NaN >= 0
+        if (java.lang.Double.isNaN(s) || s >= 0.0) b |= 1 << bi
+        bi += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildrenInternal(f: Expression, s: Expression,
+      t: Expression): SrpBuckets = copy(child = f, planesLit = s, kLit = t)
 }
 
 /** 128-permutation MinHash signature of an int64 shingle set, computed in

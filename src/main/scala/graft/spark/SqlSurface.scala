@@ -55,6 +55,13 @@ object SqlSurface {
       "sorted_intersect_count",
       exprs => graft.functions.SortedIntersectCount(exprs(0), exprs(1)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_unit", exprs => graft.functions.VecUnit(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dots", exprs => graft.functions.VecDots(exprs(0), exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_buckets",
+      exprs => graft.functions.SrpBuckets(exprs(0), exprs(1), exprs(2)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
   }
 }

@@ -227,10 +227,14 @@ object TextOps {
   /** Previous ngram-join sorted-shingle corpus — same lifecycle. */
   @volatile private var lastNgram: DataFrame = null
 
+  /** Previous cap-bounded embedding cache (embLshRecall) — same lifecycle. */
+  @volatile private var lastEmb: DataFrame = null
+
   def releaseCaches(): Unit = synchronized {
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
     if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
     if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null }
+    if (lastEmb != null) { lastEmb.unpersist(false); lastEmb = null }
   }
 
   /** Persist an EXPENSIVE dedup-pipeline input (e.g. the extraction kernel's
@@ -663,6 +667,10 @@ object TextOps {
     require(maxHamming >= 0 && maxHamming <= 7, "bands are 64/(maxHamming+1) bits")
     val nBands = maxHamming + 1
     val bandBits = 64 / nBands
+    // NOTE: a fanOut here was measured SLOWER twice (0.60 -> 0.78 s at
+    // sf0.1): the simhash pass is cheap enough that the extra exchange +
+    // 32-way task overhead exceeds the parallelism gain. Left on the
+    // scan's natural splits deliberately.
     val corpus = corpusDocs
       .select(col("doc_id"), call_function("simhash64", col("text")).as("fp"))
     val allBands = corpus.select(col("doc_id"), col("fp"),
@@ -697,10 +705,7 @@ object TextOps {
     * The norm itself goes through the native vec_dot: the aggregate() form
     * is re-inlined PER ELEMENT by CollapseProject (64 interpreted norm
     * evals per row). */
-  private def unitVec(c: Column): Column = {
-    val n = sqrt(call_function("vec_dot", c, c))
-    transform(c, x => x.cast("double") / n)
-  }
+  private def unitVec(c: Column): Column = call_function("vec_unit", c)
   /** Pairwise dot via the codegen'd native expression (graft.functions.VecDot)
     * — the interpreted aggregate(zip_with(...)) form was ~60% of the bench
     * total on the 2M-pair near-dup join. Same element order and double
@@ -742,11 +747,16 @@ object TextOps {
     val base = DocsTables.fanOut(embeddings)
       .select(col("vec_id"), unitVec(col("embedding")).as("u"))
       .filter(col("vec_id") < cap)
+    // the cosine threshold lives IN the join condition: the nested-loop
+    // join then evaluates one codegen'd predicate per pair and only
+    // MATERIALIZES the ~0.2% of pairs that pass — the previous
+    // join -> project(cos) -> filter shape built every candidate pair as a
+    // joined row carrying both 512 B unit vectors first. Same predicate,
+    // same NaN semantics, identical pair set.
     base.select(col("vec_id").as("a_id"), col("u").as("a_u"))
       .join(base.select(col("vec_id").as("b_id"), col("u").as("b_u")),
-        col("a_id") < col("b_id"))
-      .select(col("a_id"), col("b_id"), dotCol(col("a_u"), col("b_u")).as("cos"))
-      .filter(col("cos") >= threshold)
+        col("a_id") < col("b_id") &&
+          dotCol(col("a_u"), col("b_u")) >= threshold)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -762,27 +772,22 @@ object TextOps {
     val hyper = Array.fill(tables, k, dim)(rnd.nextGaussian())
     // fanOut: tables*k literal-hyperplane dots per row run scan-side
     val base = DocsTables.fanOut(embeddings).select(col("vec_id"), col("embedding"))
-    val emb = col("embedding")
-    // hyperplane dots through the NATIVE vec_dot (array<float> x literal
-    // array<double>): tables x k of them per row — the interpreted
-    // aggregate(zip_with) form was 96 higher-order evals per row at
-    // tables=24 and dominated emb_lsh_recall (16 s -> ~2 s at sf0.1).
-    // Bit-identical: same element order, same double accumulation.
-    def dotLit(plane: Array[Double]) =
-      call_function("vec_dot", emb, array(plane.map(lit): _*))
-    val bucketCols = (0 until tables).map { t =>
-      (0 until k).map { i =>
-        (dotLit(hyper(t)(i)) >= 0).cast("int") * lit(1 << i)
-      }.reduce(_ + _).as(s"b$t")
-    }
-    val bucketed = base.select(col("vec_id") +: col("embedding") +: bucketCols: _*)
+    // ALL tables*k hyperplane dots + bit packing in ONE fused native pass
+    // (srp_buckets): a projection of 96 separate vec_dot expressions
+    // measured ~7 µs PER DOT (r06 ProbeEmb — too large to JIT, row
+    // re-walked per dot); the fused expression reads the vector once and
+    // streams the plane matrix over it. Bucket values bit-identical,
+    // including SQL NaN ordering and null-element semantics.
+    val planesLit = typedlit(
+      (0 until tables).flatMap(t => (0 until k).map(i => hyper(t)(i).toSeq)))
     // candidate generation ships IDS ONLY (the dedupMinhash shape): the
     // bucket self-join + distinct move 16-byte pairs, and the embedding
     // arrays are joined back only for surviving candidates — carrying two
     // 64-float arrays per candidate through the dedup shuffle made the
     // recall query ~25x slower at sf0.1 (1.5 GB of array traffic)
-    val tagged = bucketed.select(col("vec_id"),
-      posexplode(array((0 until tables).map(t => col(s"b$t")): _*)).as(Seq("tbl", "bucket")))
+    val tagged = base.select(col("vec_id"),
+      posexplode(call_function("srp_buckets", col("embedding"), planesLit, lit(k)))
+        .as(Seq("tbl", "bucket")))
     val cand = tagged.as("a").join(tagged.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
@@ -795,11 +800,14 @@ object TextOps {
     // `transform`'s interpreted lambda — with its embedded norm — per
     // CANDIDATE row rather than per corpus row (~10x on this query).
     val baseU = base.select(col("vec_id"), unitVec(col("embedding")).as("u"))
-    cand
+    // cosine threshold as the second join's residual condition (see
+    // embeddingNearDup): failing candidates are never materialized
+    val withA = cand
       .join(baseU.select(col("vec_id").as("a_id"), col("u").as("a_u")), Seq("a_id"))
-      .join(baseU.select(col("vec_id").as("b_id"), col("u").as("b_u")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), dotCol(col("a_u"), col("b_u")).as("cos"))
-      .filter(col("cos") >= threshold)
+    val bSide = baseU.select(col("vec_id").as("bid"), col("u").as("b_u"))
+    withA
+      .join(bSide, withA("b_id") === bSide("bid") &&
+        dotCol(col("a_u"), col("b_u")) >= threshold)
       .select(col("a_id"), col("b_id"))
   }
 
@@ -811,13 +819,22 @@ object TextOps {
     * fixed-seed, so the driver hash-compares TRUE/TRUE stably). */
   def embLshRecall(embeddings: DataFrame, threshold: Double = 0.35,
       cap: Int = 2000, recallFloor: Double = 0.9): DataFrame = {
-    val exact = embeddingNearDup(embeddings, threshold, cap)
+    // CAP-BOUNDED shared cache (eagerly materialized): the exact join's two
+    // sides, the LSH bucketing's two sides and the verify's two sides
+    // otherwise re-scan and re-exchange the embeddings parquet SIX times
+    // per execution (r06 plan audit: 6 Scan parquet + 6 Exchange nodes for
+    // one logical input). Bounded by `cap` rows, so the cache is scale-safe
+    // at any corpus size — same boundedness argument as the brute-force
+    // baseline itself.
+    val embCapped = embeddings.filter(col("vec_id") < cap).persist()
+    synchronized { if (lastEmb != null) lastEmb.unpersist(false); lastEmb = embCapped }
+    embCapped.count()
+    val exact = embeddingNearDup(embCapped, threshold, cap)
       .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
     // 24 tables: probed recall 0.98-0.99 at t=0.35 on the synthetic
     // embeddings (0.69 at the default 8 — recall/cost is THE tunable here);
     // the floor keeps ~8 points of margin for corpus drift
-    val lsh = embeddingNearDupLsh(embeddings.filter(col("vec_id") < cap), threshold,
-        tables = 24)
+    val lsh = embeddingNearDupLsh(embCapped, threshold, tables = 24)
       .select(col("a_id"), col("b_id"), lit(1).as("in_lsh"))
     exact.join(lsh, Seq("a_id", "b_id"), "full_outer")
       .agg(
@@ -881,8 +898,9 @@ object TextOps {
       .map(r => normalize(r.getSeq[Float](1).iterator.map(_.toDouble).toArray))
     var it = 0
     while (it < iters) {
-      val dotArr = array(cents.map(cn =>
-        call_function("vec_dot", col("embedding"), array(cn.map(lit): _*))): _*)
+      // fused native pass over all nCells centroids (see vec_dots note)
+      val dotArr = call_function("vec_dots", col("embedding"),
+        typedlit(cents.map(_.toSeq).toSeq))
       val assigned = base.select(
         (array_position(dotArr, array_max(dotArr)).cast("int") - 1).as("cell"),
         col("embedding"))
@@ -952,13 +970,17 @@ object TextOps {
           (r.getLong(0).toInt, arr.map(_ / n))
         }
         .sortBy(_._1)
-    // native vec_dot against the literal centroid (see embeddingNearDupLsh's
-    // dotLit note) — bit-identical to the aggregate(zip_with) form
+    // native vec_dot against the literal centroid — bit-identical to the
+    // aggregate(zip_with) form (probeStructs below runs over nQueries rows
+    // only, so the per-expression cost is irrelevant there)
     def dotLit(cn: Array[Double]): Column =
       call_function("vec_dot", col("embedding"), array(cn.map(lit): _*))
     // map-side argmax: first index of the max dot (ties -> lowest cell_id,
-    // matching the previous window tie-break ccos desc / cell_id asc)
-    val dotArr = array(cents.map { case (_, cn) => dotLit(cn) }: _*)
+    // matching the previous window tie-break ccos desc / cell_id asc).
+    // ALL nCells dots in one fused native pass (vec_dots — see
+    // embeddingNearDupLsh): element p is bit-identical to dotLit(cents(p)).
+    val dotArr = call_function("vec_dots", col("embedding"),
+      typedlit(cents.map(_._2.toSeq).toSeq))
     val cellIds = array(cents.map { case (id, _) => lit(id) }: _*)
     // `u` computed at the scan (once per corpus row): the ranking dot after
     // the probe join then reads a ready array instead of re-running the
