@@ -88,6 +88,9 @@ object LangId {
 
   private val ProfileMap: Map[String, Map[String, Double]] = Profiles.toMap
 
+  /** Array view for the allocation-free detect scan. */
+  private val ProfilesArr: Array[(String, Map[String, Double])] = Profiles.toArray
+
   /** Detect the language of `text`; null when nothing scores (e.g. empty or
     * digits-only input). */
   def detect(text: String): String = {
@@ -124,20 +127,41 @@ object LangId {
     if (greek * 2 > letters) return "el"
     if (arabic * 2 > letters) return "ar"
     if (hebrew * 2 > letters) return "he"
-    // --- Latin script: trigram cosine vs the profiles
+    // --- Latin script: trigram cosine vs the profiles.
+    // Allocation-free top-3 scan (ADVICE r5): the previous build-and-sort
+    // of a 16-entry scored list ran inside the extraction kernel path the
+    // repo documents as allocation/bandwidth-sensitive. The cascading
+    // strictly-greater updates reproduce a STABLE descending sort's first
+    // three entries exactly (earliest index wins ties), and `scored.find(
+    // not in pair)` over a stable sort is precisely the third entry.
     val counts = trigramCounts(text)
     if (counts.isEmpty) return null
     val inNorm = math.sqrt(counts.valuesIterator.map(v => v * v).sum)
-    val scored = Profiles.map { case (lang, prof) =>
+    var bestIdx = -1; var secondIdx = -1; var thirdIdx = -1
+    var bestDot = 0.0; var secondDot = 0.0; var thirdDot = 0.0
+    var pi = 0
+    ProfilesArr.foreach { case (_, prof) =>
       var dot = 0.0
       counts.foreach { case (t, v) =>
         val p = prof.getOrElse(t, 0.0)
         if (p > 0) dot += v * p
       }
-      lang -> dot / inNorm
-    }.sortBy(-_._2)
-    val (bestLang, bestScore) = scored.head
-    val (secondLang, secondScore) = scored(1)
+      if (bestIdx < 0 || dot > bestDot) {
+        thirdIdx = secondIdx; thirdDot = secondDot
+        secondIdx = bestIdx; secondDot = bestDot
+        bestIdx = pi; bestDot = dot
+      } else if (secondIdx < 0 || dot > secondDot) {
+        thirdIdx = secondIdx; thirdDot = secondDot
+        secondIdx = pi; secondDot = dot
+      } else if (thirdIdx < 0 || dot > thirdDot) {
+        thirdIdx = pi; thirdDot = dot
+      }
+      pi += 1
+    }
+    val bestLang = ProfilesArr(bestIdx)._1
+    val bestScore = bestDot / inNorm
+    val secondLang = ProfilesArr(secondIdx)._1
+    val secondScore = secondDot / inNorm
     // Accept only with a MARGIN over the runner-up: a Latin-script language
     // OUTSIDE the profiled set (ro, fi, …) scores moderately against
     // several near-neighbor profiles at once, and a bare argmax would
@@ -157,8 +181,9 @@ object LangId {
       // efter/etter… — the orthographic discriminators the shared mass
       // drowns). Nynorsk, outside the set, resolves to nb here — the
       // conventional fold for this granularity.
-      val outside = scored.find(s => !Set(bestLang, secondLang).contains(s._1))
-      if (outside.exists(o => bestScore - o._2 < Margin * bestScore)) null
+      // best profile OUTSIDE the pair = third entry of the stable ranking
+      val outsideScore = thirdDot / inNorm
+      if (thirdIdx >= 0 && bestScore - outsideScore < Margin * bestScore) null
       else {
         val pa = ProfileMap(bestLang)
         val pb = ProfileMap(secondLang)

@@ -9,9 +9,11 @@ object SimHash {
   private val Punct = "!\"#$%&'()*+,-./:;<=>?@[\\]^_`{|}~".toSet
 
   /** Python str.split() whitespace: Java's class plus the no-break spaces
-    * Java excludes (see sampleTokens scaladoc). */
+    * Java excludes (see sampleTokens scaladoc) and U+0085 NEL, which Python
+    * treats as whitespace but Character.isWhitespace does not (ADVICE r5). */
   @inline private def isPySpace(c: Char): Boolean =
-    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' || c == '\u202F'
+    Character.isWhitespace(c) || c == '\u00A0' || c == '\u2007' || c == '\u202F' ||
+      c == '\u0085'
 
   /** sample_tokens (hashing.py:14-27): split, strip punctuation, keep alnum,
     * adaptive min length to keep >= length/2 tokens.

@@ -227,14 +227,10 @@ object TextOps {
   /** Previous ngram-join sorted-shingle corpus — same lifecycle. */
   @volatile private var lastNgram: DataFrame = null
 
-  /** Previous cap-bounded embedding cache (embLshRecall) — same lifecycle. */
-  @volatile private var lastEmb: DataFrame = null
-
   def releaseCaches(): Unit = synchronized {
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
     if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
     if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null }
-    if (lastEmb != null) { lastEmb.unpersist(false); lastEmb = null }
   }
 
   /** Persist an EXPENSIVE dedup-pipeline input (e.g. the extraction kernel's
@@ -275,11 +271,18 @@ object TextOps {
     // 128×min(xxhash64(s,i)) + groupBy form, equivalence test-pinned) with
     // NO shuffle — at 100 TB the old shape shipped |corpus shingles| rows ×
     // 128 hash columns through an aggregation exchange.
+    // unpersist the PREVIOUS corpus BEFORE persisting the new one: their
+    // logical plans are canonically identical across invocations, so the
+    // reverse order makes CacheManager's plan-matched uncache remove the
+    // JUST-REGISTERED entry too — every downstream subtree then silently
+    // recomputed the corpus raw (measured r06: runs 2+ of a bench loop lost
+    // the cache and re-ran the shingle scan 4x).
+    synchronized { if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null } }
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    synchronized { if (lastSigs != null) lastSigs.unpersist(false); lastSigs = corpus }
+    synchronized { lastSigs = corpus }
     corpus.count()
     val sigs = corpus.select(col("doc_id"),
       call_function("minhash128", col("sh")).as("mh"))
@@ -563,11 +566,14 @@ object TextOps {
     // feeds FOUR subtrees (both token-join sides, both verify sides) and was
     // recomputed by each — the single most expensive scan of this query ran
     // up to 4x per execution (measured r06)
+    // unpersist-old BEFORE persist-new (see dedupMinhash's note: the
+    // canonical-plan-matched uncache otherwise removes the new entry)
+    synchronized { if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null } }
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    synchronized { if (lastNgram != null) lastNgram.unpersist(false); lastNgram = corpus }
+    synchronized { lastNgram = corpus }
     corpus.count()
     val prefixLen = (size(col("sh")) -
       ceil(size(col("sh")) * lit(threshold)).cast("int") + 1)
@@ -819,16 +825,12 @@ object TextOps {
     * fixed-seed, so the driver hash-compares TRUE/TRUE stably). */
   def embLshRecall(embeddings: DataFrame, threshold: Double = 0.35,
       cap: Int = 2000, recallFloor: Double = 0.9): DataFrame = {
-    // CAP-BOUNDED shared cache (eagerly materialized): the exact join's two
-    // sides, the LSH bucketing's two sides and the verify's two sides
-    // otherwise re-scan and re-exchange the embeddings parquet SIX times
-    // per execution (r06 plan audit: 6 Scan parquet + 6 Exchange nodes for
-    // one logical input). Bounded by `cap` rows, so the cache is scale-safe
-    // at any corpus size — same boundedness argument as the brute-force
-    // baseline itself.
-    val embCapped = embeddings.filter(col("vec_id") < cap).persist()
-    synchronized { if (lastEmb != null) lastEmb.unpersist(false); lastEmb = embCapped }
-    embCapped.count()
+    // NOT cached: a cap-bounded persist of the shared embeddings input was
+    // measured SLOWER (1.03 -> 1.65 s) once vec_dots/srp_buckets made the
+    // recompute cheap — InMemoryRelation deserialization of float arrays
+    // costs more than re-scanning half a megabyte of parquet. The six
+    // subtree reads are fine now that each is one fused pass.
+    val embCapped = embeddings.filter(col("vec_id") < cap)
     val exact = embeddingNearDup(embCapped, threshold, cap)
       .select(col("a_id"), col("b_id"), lit(1).as("in_exact"))
     // 24 tables: probed recall 0.98-0.99 at t=0.35 on the synthetic
