@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   * computed from DECODED pixels/samples (pixelFeatures) — no stub remains. */
 object MultimodalOps {
 
+  /** ImageIO's stream factories are DISK-cache-backed by default: every
+    * ImageIO.read / write / create*Stream call on an in-memory blob
+    * allocates a temp FILE for buffering. For the small in-memory payloads
+    * of this pipeline that is pure per-row filesystem overhead (measured
+    * r06: ~5 ms/blob across encode+decode); memory-backed streams produce
+    * byte-identical codec output. JVM-global, idempotent, applied lazily
+    * from every codec entry point. */
+  private lazy val imageIoNoDiskCache: Unit =
+    javax.imageio.ImageIO.setUseCache(false)
+
   final case class MediaRow(doc_id: Long, media_ref: String, media_kind: String,
       blob: Array[Byte])
   final case class MediaFeatures(doc_id: Long, media_kind: String, blob_len: Long,
@@ -30,6 +40,7 @@ object MultimodalOps {
   /** Render a deterministic RGB PNG via the JDK encoder (ImageIO ships PNG/
     * JPEG/GIF/BMP in every JRE). Same inputs → byte-identical output. */
   def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
     var y = 0
     while (y < h) {
@@ -47,10 +58,12 @@ object MultimodalOps {
 
   /** Real image decode: JDK ImageIO. Returns (width, height) or None when
     * the payload is not a decodable image. */
-  def decodeImage(blob: Array[Byte]): Option[(Int, Int)] =
+  def decodeImage(blob: Array[Byte]): Option[(Int, Int)] = {
+    imageIoNoDiskCache
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob)))
       .map(i => (i.getWidth, i.getHeight))
     catch { case _: java.io.IOException => None }
+  }
 
   /** Deterministic audio parameters per doc (SQL-predictable, so the DuckDB
     * oracle verifies the WAV encode→decode roundtrip closed-form). */
@@ -86,6 +99,7 @@ object MultimodalOps {
     * closest in-JDK stand-in for a real video container: one file, many
     * frames, decoded frame-by-frame. Same inputs → byte-identical output. */
   def gifBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    imageIoNoDiskCache
     val bos = new java.io.ByteArrayOutputStream()
     val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
     val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
@@ -117,7 +131,8 @@ object MultimodalOps {
     * (width, height, nFrames) or None when not decodable. `getNumImages
     * (true)` walks every frame in the stream — a real decode, not metadata
     * trust. */
-  def decodeGif(blob: Array[Byte]): Option[(Int, Int, Int)] =
+  def decodeGif(blob: Array[Byte]): Option[(Int, Int, Int)] = {
+    imageIoNoDiskCache
     try {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -127,6 +142,7 @@ object MultimodalOps {
         Some((reader.getWidth(0), reader.getHeight(0), reader.getNumImages(true)))
       } finally { reader.dispose(); iis.close() }
     } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+  }
 
   /** Real audio decode: JDK javax.sound.sampled. Returns
     * (sampleRate, frameCount) or None when the payload is not decodable. */
@@ -173,6 +189,7 @@ object MultimodalOps {
     * longer side is `maxDim` (no upscaling) -> re-encode PNG. Returns the
     * original payload when not decodable or already small enough. */
   def resizePng(blob: Array[Byte], maxDim: Int): Array[Byte] = {
+    imageIoNoDiskCache
     val src = try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(blob))
       catch { case _: java.io.IOException => null }
     if (src == null) return blob
@@ -205,7 +222,8 @@ object MultimodalOps {
 
   /** Real FRAME SAMPLE: decode frame `k` (clamped) of an animated-GIF video
     * payload and re-encode it as a standalone PNG. None when not decodable. */
-  def sampleFrame(blob: Array[Byte], k: Int): Option[Array[Byte]] =
+  def sampleFrame(blob: Array[Byte], k: Int): Option[Array[Byte]] = {
+    imageIoNoDiskCache
     try {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -222,6 +240,7 @@ object MultimodalOps {
         }
       } finally { reader.dispose(); iis.close() }
     } catch { case _: java.io.IOException | _: IllegalArgumentException => None }
+  }
 
   /** Dataset-level frame sampling: each video row yields one image row per
     * sampled frame index (doc_id preserved, media_ref suffixed `#frame-i`),
@@ -355,7 +374,8 @@ object MultimodalOps {
 
   /** Decode every frame of a GIF container to BufferedImages. Nil when not
     * decodable. */
-  private def decodeFrames(blob: Array[Byte]): List[java.awt.image.BufferedImage] =
+  private def decodeFrames(blob: Array[Byte]): List[java.awt.image.BufferedImage] = {
+    imageIoNoDiskCache
     try {
       val reader = javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
       val iis = javax.imageio.ImageIO.createImageInputStream(
@@ -366,6 +386,7 @@ object MultimodalOps {
         (0 until nf).map(reader.read).toList
       } finally { reader.dispose(); iis.close() }
     } catch { case _: java.io.IOException | _: IllegalArgumentException => Nil }
+  }
 
   /** decode + feature-extract as one typed per-partition pass. Image rows go
     * through the real ImageIO decoder, audio rows through the real
@@ -382,6 +403,7 @@ object MultimodalOps {
         // and pixel features both come from the same decoded object — the
         // previous shape ran the full JDK codec twice per row (metadata
         // pass + pixelFeatures), doubling codec cost (ADVICE r5)
+        imageIoNoDiskCache
         m.media_kind match {
           case "image" =>
             val img = try javax.imageio.ImageIO.read(

@@ -390,20 +390,21 @@ object TextOps {
     // subtree twice — measured r06: the whole MinHash candidate+verify plan
     // ran twice inside the first CC job. The union of the materialized
     // checkpoint is then a cheap double read of local blocks.
-    val p0 = ckpt(pairs)
-    var edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
-    // FAST PATH: when the WHOLE mirrored edge set already fits the local
-    // finish, one bounded limit-collect (stops tasks early; ≤ ~1.6 MB at
-    // the default threshold, scale-safe at any corpus size) replaces the
-    // count job, the distributed identity-label init, and the
-    // broadcast-fix join — the union-find result IS the label table
-    // (edges are mirrored, so the a-side endpoint set covers every member
-    // node). Same labels as the distributed path: min-id-root union-find
-    // assigns each node its component minimum, which is the fixpoint the
-    // contraction loop converges to.
+    // FAST PATH: when the pair set already fits the local finish (pairs
+    // are strict a<b, so mirrored edges = 2x pairs exactly), ONE bounded
+    // limit-collect over the RAW pair DAG — it stops tasks early and is
+    // ≤ ~0.8 MB at the default threshold, scale-safe at any corpus size —
+    // replaces the checkpoint job, the count job, the distributed
+    // identity-label init and the broadcast-fix join: the union-find
+    // result IS the label table (union-find is direction-agnostic, so the
+    // un-mirrored pairs suffice, with nodes = both endpoint sets). Same
+    // labels as the distributed path: min-id-root union-find assigns each
+    // node its component minimum, the fixpoint the contraction loop
+    // converges to. The pair DAG executes exactly ONCE on this path.
     if (localFinishEdges > 0) {
-      val probe = edges.limit(localFinishEdges + 1).collect()
-      if (probe.length <= localFinishEdges) {
+      val maxPairs = localFinishEdges / 2
+      val probe = pairs.limit(maxPairs + 1).collect()
+      if (probe.length <= maxPairs) {
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -418,12 +419,14 @@ object TextOps {
         }
         val spark = pairs.sparkSession
         import spark.implicits._
-        val nodes = probe.iterator.map(_.getLong(0)).toSet
+        val nodes = probe.iterator.flatMap(r => Iterator(r.getLong(0), r.getLong(1))).toSet
         val labelsLocal = nodes.iterator.map(n => (n, find(n))).toSeq
           .toDF("doc_id", "label")
         return (labelsLocal, ClusterStats(converged = true, 0, 0))
       }
     }
+    val p0 = ckpt(pairs)
+    var edges = p0.unionAll(p0.select(col("b").as("a"), col("a").as("b")))
     var nEdges = edges.count()
     var labels = ckpt(edges.select(col("a").as("doc_id")).distinct()
       .select(col("doc_id"), col("doc_id").as("label")))
