@@ -227,7 +227,11 @@ object TextOps {
   /** Previous ngram-join sorted-shingle corpus — same lifecycle. */
   @volatile private var lastNgram: DataFrame = null
 
+  /** Previous minhash SIGNATURE table (doc_id, mh) — same lifecycle. */
+  @volatile private var lastMh: DataFrame = null
+
   def releaseCaches(): Unit = synchronized {
+    if (lastMh != null) { lastMh.unpersist(false); lastMh = null }
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
     if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
     if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null }
@@ -277,18 +281,49 @@ object TextOps {
     // JUST-REGISTERED entry too — every downstream subtree then silently
     // recomputed the corpus raw (measured r06: runs 2+ of a bench loop lost
     // the cache and re-ran the shingle scan 4x).
-    synchronized { if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null } }
+    synchronized {
+      if (lastMh != null) { lastMh.unpersist(false); lastMh = null }
+      if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
+    }
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    synchronized { lastSigs = corpus }
-    corpus.count()
+    // SIGNATURE TABLE persisted too (the r5 shape, lost in the r6
+    // restructure): the band self-join reads `sigs` on BOTH sides through
+    // BroadcastHashJoin — no exchange, so no ReuseExchange — and an
+    // un-persisted sigs recomputed the full 128-permutation minhash pass
+    // over the corpus TWICE per execution (measured r06: the two band-side
+    // InMemoryTableScans each carried `minhash128(sh)`, ~half the verify
+    // stage's 14.7 s executor time). Persisting (doc_id, mh) computes it
+    // exactly once; band sides then deserialize 128 longs/row (columnar
+    // cache prunes `sh` away). The single eager count() below materializes
+    // BOTH caches in one linear stage chain — corpus populates as the sigs
+    // projection reads through it — so the first-execution sibling-stage
+    // race (see note above) stays dead without a second count job.
+    // A/B-measured r06: withOUT this persist (broadcast-join shape, minhash
+    // recomputed per band side) dedup_minhash ran 1.67 s / clusters 1.8-1.9 /
+    // pipeline 2.75; WITH it 1.15 / 1.4-1.5 / 2.30 — the signature table
+    // wins even though the join flips to SMJ on the IMR's larger stats.
     val sigs = corpus.select(col("doc_id"),
       call_function("minhash128", col("sh")).as("mh"))
-    val allBands = sigs.select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), lit(LshBands - 1)),
-          b => hash(slice(col("mh"), b * LshRows + 1, lit(LshRows))))).as(Seq("band", "bhash")))
+      .persist()
+    synchronized { lastSigs = corpus; lastMh = sigs }
+    sigs.count()
+    // band keys: explode the band INDEX first, then slice+hash the cached
+    // signature in a plain codegen'd projection. The previous
+    // `posexplode(transform(sequence, b => hash(slice(mh, ...))))` evaluated
+    // the whole band array through the INTERPRETED higher-order-function
+    // path — ~15 µs/element, 5-7 s of executor time per join side at sf0.1
+    // (measured r06, ProbeSig); `hash` and `slice` outside a lambda are
+    // whole-stage-codegen expressions and the same values cost <1 s. bhash
+    // values are bit-identical (same hash over the same slice), so the
+    // candidate set and the verified output are unchanged.
+    val allBands = sigs
+      .select(col("doc_id"), col("mh"),
+        explode(sequence(lit(0), lit(LshBands - 1))).as("band"))
+      .select(col("doc_id"), col("band"),
+        hash(slice(col("mh"), col("band") * LshRows + 1, lit(LshRows))).as("bhash"))
     val bands =
       if (bucketCap <= 0) allBands
       else {
