@@ -832,11 +832,19 @@ object TextOps {
     val tagged = base.select(col("vec_id"),
       posexplode(call_function("srp_buckets", col("embedding"), planesLit, lit(k)))
         .as(Seq("tbl", "bucket")))
+    // NO distinct here: a pair colliding in m tables flows through the
+    // verify as m rows and is deduped AFTER it. The pre-verify distinct
+    // shuffled ALL ~600 k candidate rows (10 MB exchange + hash agg,
+    // measured r06 — the query's single biggest shuffle); the verify joins
+    // are broadcast (no exchange) and the per-row native dot is ~100 ns, so
+    // pushing the duplicates through them is far cheaper than the exchange,
+    // and the post-verify distinct shuffles only surviving pairs. Output
+    // pair set identical: verification is deterministic per pair, so
+    // dedup-before and dedup-after commute.
     val cand = tagged.as("a").join(tagged.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
-      .distinct()
     // verify with the SAME float formulation as embeddingNearDup (normalize
     // each side ONCE at the scan, then dot per pair): every emitted pair
     // satisfies the exact path's predicate bit-for-bit, so precision vs the
@@ -853,6 +861,7 @@ object TextOps {
       .join(bSide, withA("b_id") === bSide("bid") &&
         dotCol(col("a_u"), col("b_u")) >= threshold)
       .select(col("a_id"), col("b_id"))
+      .distinct()
   }
 
   /** Oracle-checkable quality contract for the SRP-LSH scale path: one row
