@@ -46,16 +46,13 @@ object SparkEntry {
     "lang_id" -> ((s, dir) => TextOps.langId(DocsTables.documents(s, dir))),
     // --- deduplication family
     "dedup_exact" -> ((s, dir) => TextOps.dedupExact(DocsTables.documents(s, dir))),
-    "dedup_minhash" -> ((s, dir) =>
-      TextOps.dedupMinhash(DocsTables.documents(lowCoalesceFloor(s), dir))),
+    "dedup_minhash" -> ((s, dir) => TextOps.dedupMinhash(DocsTables.documents(s, dir))),
     // exact-guarantee near-dup path: prefix-filtered set-similarity join,
     // no probabilistic machinery (same oracle as minhash — both are exact)
-    "dedup_ngram" -> ((s, dir) =>
-      TextOps.dedupNgramJaccard(DocsTables.documents(lowCoalesceFloor(s), dir))),
+    "dedup_ngram" -> ((s, dir) => TextOps.dedupNgramJaccard(DocsTables.documents(s, dir))),
     // connected components over the near-dup pair graph (canonical doc per
     // duplicate cluster); oracle = recursive-CTE transitive closure
-    "dedup_clusters" -> ((s, dir) =>
-      TextOps.dedupClusters(DocsTables.documents(lowCoalesceFloor(s), dir))),
+    "dedup_clusters" -> ((s, dir) => TextOps.dedupClusters(DocsTables.documents(s, dir))),
     // simhash determinism shaped for SQL: identical texts under two ids must
     // fingerprint identically -> hamming 0, predictable without blake2b
     "simhash_fp" -> ((s, dir) => TextOps.simhashPairs(s, DocsTables.documents(s, dir))),
@@ -77,8 +74,7 @@ object SparkEntry {
     // per cluster with member count. Proves the two halves compose; the
     // kernel's extracted text is oracle-predictable (= documents.text), so
     // DuckDB replays the whole chain with its recursive-CTE closure.
-    "pipeline_dedup" -> ((s0, dir) => {
-      val s = lowCoalesceFloor(s0)
+    "pipeline_dedup" -> ((s, dir) => {
       // the kernel output is PERSISTED before fan-out: the corpus expansion
       // and final labeling otherwise re-execute extraction up to 4x (the
       // r4 scale flaw) — plan-pinned by the "pipeline_dedup runs the kernel
@@ -158,21 +154,6 @@ object SparkEntry {
         .select(col("n_name"), col("revenue"), col("n_items"))
     })
   )
-
-  /** Isolated session with a 64 KB AQE coalesce floor (default 1 MB) for the
-    * dedup family: their candidate-verify stages are CPU-dense per BYTE
-    * (sorted_intersect_count over long arrays), so the byte-based coalescer
-    * squeezed a ~3 MB candidate shuffle onto 2 tasks while 30 cores idled
-    * (587 ms single-stage wall, measured r06). With the parallelism-first
-    * coalescer the floor is what binds at small shuffle sizes; 64 KB lets it
-    * keep session-width tasks. At scale partitions dwarf any floor, so this
-    * is local-regime-only by construction — same isolated-session pattern as
-    * tpch_skew_revenue, no conf leak into the shared session. */
-  private def lowCoalesceFloor(s: SparkSession): SparkSession = {
-    val s2 = s.newSession()
-    s2.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64KB")
-    s2
-  }
 
   private def withLongCounts(df: DataFrame, cols: Seq[String]): DataFrame =
     cols.foldLeft(df)((d, c) => d.withColumn(c, col(c).cast("long")))

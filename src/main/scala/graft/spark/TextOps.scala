@@ -227,11 +227,7 @@ object TextOps {
   /** Previous ngram-join sorted-shingle corpus — same lifecycle. */
   @volatile private var lastNgram: DataFrame = null
 
-  /** Previous minhash SIGNATURE table (doc_id, mh) — same lifecycle. */
-  @volatile private var lastMh: DataFrame = null
-
   def releaseCaches(): Unit = synchronized {
-    if (lastMh != null) { lastMh.unpersist(false); lastMh = null }
     if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
     if (lastInput != null) { lastInput.unpersist(false); lastInput = null }
     if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null }
@@ -281,35 +277,21 @@ object TextOps {
     // JUST-REGISTERED entry too — every downstream subtree then silently
     // recomputed the corpus raw (measured r06: runs 2+ of a bench loop lost
     // the cache and re-ran the shingle scan 4x).
-    synchronized {
-      if (lastMh != null) { lastMh.unpersist(false); lastMh = null }
-      if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null }
-    }
+    synchronized { if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null } }
     val corpus = nearDupCorpus(docs)
       .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
-    // SIGNATURE TABLE persisted too (the r5 shape, lost in the r6
-    // restructure): the band self-join reads `sigs` on BOTH sides through
-    // BroadcastHashJoin — no exchange, so no ReuseExchange — and an
-    // un-persisted sigs recomputed the full 128-permutation minhash pass
-    // over the corpus TWICE per execution (measured r06: the two band-side
-    // InMemoryTableScans each carried `minhash128(sh)`, ~half the verify
-    // stage's 14.7 s executor time). Persisting (doc_id, mh) computes it
-    // exactly once; band sides then deserialize 128 longs/row (columnar
-    // cache prunes `sh` away). The single eager count() below materializes
-    // BOTH caches in one linear stage chain — corpus populates as the sigs
-    // projection reads through it — so the first-execution sibling-stage
-    // race (see note above) stays dead without a second count job.
-    // A/B-measured r06: withOUT this persist (broadcast-join shape, minhash
-    // recomputed per band side) dedup_minhash ran 1.67 s / clusters 1.8-1.9 /
-    // pipeline 2.75; WITH it 1.15 / 1.4-1.5 / 2.30 — the signature table
-    // wins even though the join flips to SMJ on the IMR's larger stats.
+    synchronized { lastSigs = corpus }
+    corpus.count()
+    // NOT persisted — A/B-measured r06 (4 paired same-window legs): caching
+    // (doc_id, mh) flips the band self-join from broadcast to SMJ on the
+    // IMR's larger stats (two 4 MB exchanges, no stage reuse, +1 eager-count
+    // job) and regressed dedup_minhash/clusters/pipeline by 0.3-0.6 s each;
+    // recomputing the native minhash128 once per band side from the cached
+    // sorted-shingle corpus is cheaper than the extra plan machinery.
     val sigs = corpus.select(col("doc_id"),
       call_function("minhash128", col("sh")).as("mh"))
-      .persist()
-    synchronized { lastSigs = corpus; lastMh = sigs }
-    sigs.count()
     // band keys: explode the band INDEX first, then slice+hash the cached
     // signature in a plain codegen'd projection. The previous
     // `posexplode(transform(sequence, b => hash(slice(mh, ...))))` evaluated
