@@ -86,9 +86,16 @@ object ExtractPipeline {
       val opts =
         if (options.dedup) options.copy(dedupCache = new Deduplicator())
         else options
-      iter.map(row => extractRow(row, opts))
+      iter.map { row => ExtractPipeline.kernelDocCount.increment(); extractRow(row, opts) }
     }
   }
+
+  /** DIAGNOSTIC (meaningful in local mode only): docs processed by
+    * extractDocs since JVM start — lets probes count kernel executions
+    * (ProbePipe used it to prove the pipeline cache is hit: 5000 docs on
+    * build, 0 on every action). LongAdder: no shared-cache-line contention
+    * in the kernel hot path (~ns per doc vs ~60 µs of kernel work). */
+  val kernelDocCount = new java.util.concurrent.atomic.LongAdder
 
   /** Skew-aware variant: docs whose html payload exceeds `skewThresholdBytes`
     * are pulled into a salted, per-doc-balanced set of partitions; the bulk

@@ -243,10 +243,22 @@ object TextOps {
     * equivalent move is staging extracted text via the commit-log table
     * (ExtractPipeline); this is the in-query form. Cache lifecycle follows
     * lastSigs: released on the next call or via releaseCaches(). */
-  def cachePipelineInput(df: DataFrame): DataFrame = synchronized {
-    if (lastInput != null) lastInput.unpersist(false)
-    val p = df.persist()
-    lastInput = p
+  def cachePipelineInput(df: DataFrame): DataFrame = {
+    val p = synchronized {
+      if (lastInput != null) lastInput.unpersist(false)
+      val q = df.persist()
+      lastInput = q
+      q
+    }
+    // EAGER materialization (measured r06, ProbePipe): without it the final
+    // labeling job's two union branches each get their own
+    // TableCacheQueryStage over the not-yet-built cache, AQE materializes
+    // them CONCURRENTLY, and both compute the kernel — the pipeline ran
+    // extraction 2x in its last job (16.7 s executor time = exactly two
+    // 7.5 s kernel passes) despite the persist and the plan-level
+    // kernel-once pin. One count() builds the cache in a single pass;
+    // every later stage (corpus expansion, labeling union) then reads it.
+    p.count()
     p
   }
 
@@ -532,8 +544,14 @@ object TextOps {
     // text (ids are docs ∪ docs+1e6) — the previous nearDupCorpus call paid
     // the fanOut exchange + text synthesis only to have every column but
     // doc_id pruned away.
-    val ids = docs.select(col("doc_id").cast("long").as("doc_id"))
-    ids.unionAll(ids.select((col("doc_id") + 1000000L).as("doc_id")))
+    // ONE read, no union: the unionAll form gave each branch its own
+    // TableCacheQueryStage over the pipeline's cached kernel output and AQE
+    // materialized them concurrently — the kernel ran TWICE inside the
+    // final labeling job (measured r06, ProbePipe: 16.7 s executor time =
+    // two kernel passes). A generator reads the source once (same move as
+    // nearDupCorpus); row multiset identical.
+    docs.select(col("doc_id").cast("long").as("doc_id"))
+      .select(explode(array(col("doc_id"), col("doc_id") + 1000000L)).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("label"), col("doc_id")).as("cluster_id"))
   }
