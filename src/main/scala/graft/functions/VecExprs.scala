@@ -437,3 +437,84 @@ case class MinHash128(child: org.apache.spark.sql.catalyst.expressions.Expressio
       newChild: org.apache.spark.sql.catalyst.expressions.Expression): MinHash128 =
     copy(child = newChild)
 }
+
+/** Sorted DISTINCT xxhash64 values of all 3-word shingles of a
+  * space-separated text, in ONE zero-copy pass:
+  * `shingle_hashes(string) -> array<long>` (sorted ascending).
+  *
+  * Bit-identical to the SQL formulation used through r06
+  * (`array_sort(array_distinct(slice(zip_with(ws, slice(ws,2,..), concat)
+  * ... xxhash64 ...)))` over `split(text, " ")`):
+  *  - `split` on the single-space regex means consecutive words are
+  *    separated by EXACTLY one 0x20 byte, so the shingle string
+  *    `w_i ++ " " ++ w_i+1 ++ " " ++ w_i+2` is a contiguous BYTE SLICE of
+  *    the original UTF8String — no concat, no substring copies; 0x20 never
+  *    occurs inside a multi-byte UTF-8 sequence, so byte-level word
+  *    boundaries equal the regex's character-level ones (incl. empty words
+  *    from doubled spaces and the trailing-empty words limit=-1 keeps);
+  *  - the hash is Spark's own XXH64 over the same bytes with the
+  *    xxhash64 expression's default seed 42;
+  *  - sort + adjacent-dedup of the long hashes = array_sort ∘
+  *    array_distinct (both operate on the hash VALUES).
+  * The interpreted zip_with tree this replaces evaluated three splits and
+  * a lambda per element and allocated two intermediate string arrays per
+  * row — the dominant cost of the dedup family's corpus-build stage
+  * (measured r06). Equivalence is pinned in VecExprsEquivalenceSpec.
+  */
+case class ShingleHashes(child: org.apache.spark.sql.catalyst.expressions.Expression)
+  extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+  with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(s"shingle_hashes expects string, got $other")
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    import org.apache.spark.unsafe.Platform
+    val s = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
+    val nb = s.numBytes()
+    val base = s.getBaseObject
+    val off = s.getBaseOffset
+    var m = 0 // space count
+    var i = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == 0x20) m += 1
+      i += 1
+    }
+    val nWords = m + 1
+    val nTri = if (nWords >= 3) nWords - 2 else 0
+    if (nTri == 0) return ArrayData.toArrayData(Array.emptyLongArray)
+    val sp = new Array[Int](m)
+    i = 0
+    var j = 0
+    while (i < nb) {
+      if (Platform.getByte(base, off + i) == 0x20) { sp(j) = i; j += 1 }
+      i += 1
+    }
+    val out = new Array[Long](nTri)
+    var t = 0
+    while (t < nTri) {
+      val start = if (t == 0) 0 else sp(t - 1) + 1
+      val end = if (t + 2 == nWords - 1) nb else sp(t + 2)
+      out(t) = org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(base, off + start, end - start, 42L)
+      t += 1
+    }
+    java.util.Arrays.sort(out)
+    var w = 1
+    var r = 1
+    while (r < nTri) {
+      if (out(r) != out(w - 1)) { out(w) = out(r); w += 1 }
+      r += 1
+    }
+    ArrayData.toArrayData(if (w == nTri) out else java.util.Arrays.copyOf(out, w))
+  }
+
+  override protected def withNewChildInternal(
+      newChild: org.apache.spark.sql.catalyst.expressions.Expression): ShingleHashes =
+    copy(child = newChild)
+}

@@ -63,5 +63,7 @@ object SqlSurface {
       exprs => graft.functions.SrpBuckets(exprs(0), exprs(1), exprs(2)), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => Simhash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => graft.functions.ShingleHashes(exprs.head), "scala_udf")
   }
 }

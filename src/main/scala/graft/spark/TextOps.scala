@@ -290,8 +290,13 @@ object TextOps {
     // recomputed the corpus raw (measured r06: runs 2+ of a bench loop lost
     // the cache and re-ran the shingle scan 4x).
     synchronized { if (lastSigs != null) { lastSigs.unpersist(false); lastSigs = null } }
+    // shingle_hashes = array_sort(array_distinct(hashed 3-shingles)) as ONE
+    // native zero-copy pass over the text bytes (each shingle is a byte
+    // slice of the original string — see the expression's scaladoc);
+    // replaces the interpreted zip_with tree, bit-identical output
+    // (equivalence pinned in VecExprsEquivalenceSpec)
     val corpus = nearDupCorpus(docs)
-      .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
+      .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     synchronized { lastSigs = corpus }
@@ -608,7 +613,7 @@ object TextOps {
     // canonical-plan-matched uncache otherwise removes the new entry)
     synchronized { if (lastNgram != null) { lastNgram.unpersist(false); lastNgram = null } }
     val corpus = nearDupCorpus(docs)
-      .select(col("doc_id"), array_sort(hashedShingles(col("text"))).as("sh"))
+      .select(col("doc_id"), call_function("shingle_hashes", col("text")).as("sh"))
       .filter(size(col("sh")) > 0)
       .persist()
     synchronized { lastNgram = corpus }

@@ -94,4 +94,30 @@ class VecExprsEquivalenceSpec extends AnyFunSuite {
         size(array_intersect(col("a"), col("b"))).as("m"))
       .collect().foreach(r => assert(r.getInt(0) == r.getInt(1)))
   }
+
+  test("shingle_hashes equals array_sort(hashedShingles) on adversarial texts") {
+    import spark.implicits._
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "a b c",              // exactly one shingle
+      "a b",                // too short -> empty
+      "",                   // empty -> empty
+      "   ",                // only spaces: empty words still shingle
+      "a  b   c d",         // doubled/tripled spaces -> empty words
+      " leading and trailing ",
+      "dup dup dup dup dup dup", // repeated shingles -> distinct collapses
+      "\u00e9l\u00e8ve \u4e16\u754c caf\u00e9 na\u00efve \ud83d\ude00 emoji mix",
+      "tab\tand\nnewline are not separators here",
+      "x " * 2000 + "tail"  // long text
+    )
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val rows = df.select(
+        call_function("shingle_hashes", col("text")).as("a"),
+        array_sort(graft.spark.TextOps.hashedShingles(col("text"))).as("b"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+        s"shingle sets differ: ${r.getSeq[Long](0)} vs ${r.getSeq[Long](1)}")
+    }
+  }
 }
