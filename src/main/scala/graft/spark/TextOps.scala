@@ -250,14 +250,14 @@ object TextOps {
       lastInput = q
       q
     }
-    // EAGER materialization (measured r06, ProbePipe): without it the final
-    // labeling job's two union branches each get their own
-    // TableCacheQueryStage over the not-yet-built cache, AQE materializes
-    // them CONCURRENTLY, and both compute the kernel — the pipeline ran
-    // extraction 2x in its last job (16.7 s executor time = exactly two
-    // 7.5 s kernel passes) despite the persist and the plan-level
-    // kernel-once pin. One count() builds the cache in a single pass;
-    // every later stage (corpus expansion, labeling union) then reads it.
+    // EAGER materialization: builds the cache in one dedicated simple job
+    // instead of as a side effect of whatever dependent subtree executes
+    // first (the dedup corpus count, whose own cache build then stacks on
+    // the kernel's in one stage chain). A kernel doc counter (ProbePipe +
+    // ExtractPipeline.kernelDocCount) proves extraction runs exactly ONCE
+    // per invocation either way — the paired A/B win (pipeline_dedup
+    // 1.96-2.20 -> 1.85-1.90 s, with the explode labeling below) comes
+    // from the leaner stage structure, not from avoided kernel work.
     p.count()
     p
   }
@@ -550,11 +550,12 @@ object TextOps {
     // the fanOut exchange + text synthesis only to have every column but
     // doc_id pruned away.
     // ONE read, no union: the unionAll form gave each branch its own
-    // TableCacheQueryStage over the pipeline's cached kernel output and AQE
-    // materialized them concurrently — the kernel ran TWICE inside the
-    // final labeling job (measured r06, ProbePipe: 16.7 s executor time =
-    // two kernel passes). A generator reads the source once (same move as
-    // nearDupCorpus); row multiset identical.
+    // TableCacheQueryStage over the source (the pipeline's cached kernel
+    // output, or two parquet scans on the plain path); a generator reads it
+    // once (same move as nearDupCorpus) and halves the final stage's width.
+    // Row multiset identical. Kernel work was NOT the cost — a doc counter
+    // proves extraction runs once per invocation in both forms — the
+    // paired A/B wall win is the leaner stage structure.
     docs.select(col("doc_id").cast("long").as("doc_id"))
       .select(explode(array(col("doc_id"), col("doc_id") + 1000000L)).as("doc_id"))
       .join(labels, Seq("doc_id"), "left")
